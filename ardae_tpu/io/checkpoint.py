@@ -1,0 +1,72 @@
+"""Checkpoint save/restore (reference utils/msc.py:67-110 semantics).
+
+One orbax checkpoint holds the full TrainState pytree plus host metadata
+(epoch, batch_idx, best_val_loss, iters/epoch, base RNG key) so mid-epoch
+resume AND the noise sequence are exactly restorable — the reference saves
+per-component torch dicts and cannot restore the RNG (SURVEY.md 5).
+
+Filenames mirror the reference: {prefix}model-checkpoint /
+best-model-checkpoint / final-model-checkpoint, as directories.
+"""
+
+import os
+from typing import Any, Optional
+
+import jax
+import numpy as np
+import orbax.checkpoint as ocp
+
+
+def _ckpt_dir(path: str, filename: str) -> str:
+    return os.path.abspath(os.path.join(path, filename))
+
+
+def save_checkpoint(state, meta: dict, path: str, filename: str = "checkpoint"):
+    """Save TrainState + metadata. Overwrites any existing checkpoint."""
+    target = _ckpt_dir(path, filename)
+    ckptr = ocp.StandardCheckpointer()
+    payload = {"state": state, "meta": {k: np.asarray(v) for k, v in meta.items()}}
+    if os.path.exists(target):
+        import shutil
+
+        shutil.rmtree(target)
+    ckptr.save(target, payload)
+    ckptr.wait_until_finished()
+
+
+def load_checkpoint(abstract_state, path: str, filename: str = "checkpoint"):
+    """Restore (state, meta) or None if absent (reference prints and
+    continues on a missing checkpoint — utils/msc.py:95-96)."""
+    target = _ckpt_dir(path, filename)
+    if not os.path.exists(target):
+        print(f"=> no checkpoint found at '{target}'")
+        return None
+    ckptr = ocp.StandardCheckpointer()
+    abstract = {
+        "state": jax.tree.map(ocp.utils.to_shape_dtype_struct, abstract_state),
+        "meta": None,
+    }
+    # restore metadata untyped first
+    restored = ckptr.restore(target)
+    state = jax.tree.map(
+        lambda a, b: jax.numpy.asarray(b), abstract_state, restored["state"]
+    )
+    meta = {k: np.asarray(v).item() if np.asarray(v).ndim == 0 else np.asarray(v)
+            for k, v in restored["meta"].items()}
+    print(f"=> loaded checkpoint '{target}'")
+    return state, meta
+
+
+def load_end_iter(path: str, filename: str = "best-checkpoint") -> int:
+    """Final-mode end iteration from the best checkpoint
+    (reference utils/msc.py:98-110): i_ep = (epoch-1)*iters + batch_idx - 1."""
+    target = _ckpt_dir(path, filename)
+    if not os.path.exists(target):
+        raise ValueError(f"=> no checkpoint found at '{target}'")
+    ckptr = ocp.StandardCheckpointer()
+    restored = ckptr.restore(target)
+    meta = restored["meta"]
+    i_ep = (int(meta["epoch"]) - 1) * int(meta["train_num_iters_per_epoch"]) + int(
+        meta["batch_idx"]
+    )
+    return i_ep - 1

@@ -1,0 +1,172 @@
+"""Functional API shared by every implicit-posterior VAE.
+
+The reference spreads this logic between model.forward / forward_hidden /
+encode / generate / logprob methods (e.g. models/ivae/mnist.py:254-318) and
+the driver; here it is a set of pure functions of (module, params, key, ...)
+so the whole train step jits as one XLA computation.
+
+Conventions:
+  * ``noise_std=None`` means unit noise; a float scales the injected noise
+    (reference encode(x, std=s) semantics). For aux models the scale applies
+    to the posterior std (reference models/ivae/auxmnist.py:32-39).
+  * z always comes back (bsz, nz, z_dim).
+"""
+
+import jax
+import jax.numpy as jnp
+
+from ardae_tpu.core.losses import (
+    iwae_bound,
+    loss_recon_bernoulli_with_logit,
+    loss_recon_gaussian,
+)
+from ardae_tpu.core.energy import normal_energy_func
+from ardae_tpu.core.stats import covmat, logprob_gaussian, mvn_logprob
+
+
+def make_eps(module, key, bsz, nz, noise_std=None):
+    """Draw the encoder's noise inputs. Returns what module.sample_z expects."""
+    scale = 1.0 if noise_std is None else noise_std
+    if module.family == "aux":
+        k0, k1 = jax.random.split(key)
+        eps0 = jax.random.normal(k0, (bsz * nz, module.noise_dim))
+        eps = jax.random.normal(k1, (bsz * nz, module.z_dim))
+        return (eps0, eps)  # aux models scale by noise_std internally
+    eps = jax.random.normal(key, (bsz * nz, module.noise_dim))
+    return scale * eps
+
+
+def sample_latents(module, params, key, x, nz, noise_std=None):
+    """forward_hidden: z ~ q(z|x), (bsz, nz, z_dim)."""
+    eps = make_eps(module, key, x.shape[0], nz, noise_std)
+    if module.family == "aux":
+        return module.apply(params, x, eps, noise_std, method=module.sample_z)
+    return module.apply(params, x, eps, method=module.sample_z)
+
+
+def encode_det(module, params, x):
+    """encode(x, std=0): deterministic latent, (bsz, 1, z_dim)."""
+    bsz = x.shape[0]
+    if module.family == "aux":
+        eps = (
+            jnp.zeros((bsz, module.noise_dim)),
+            jnp.zeros((bsz, module.z_dim)),
+        )
+        return module.apply(params, x, eps, 0.0, method=module.sample_z)
+    eps = jnp.zeros((bsz, module.noise_dim))
+    return module.apply(params, x, eps, method=module.sample_z)
+
+
+def encode_hidden_feats(module, params, x):
+    """'hidden1a' context features at std=0 (aux models only; the reference
+    crashes for flat models too — ivae_ardae.py:738 calls a method that only
+    aux encoders define)."""
+    if module.family != "aux":
+        raise NotImplementedError("hidden1a context requires an aux model")
+    bsz = x.shape[0]
+    eps = (jnp.zeros((bsz, module.noise_dim)), jnp.zeros((bsz, module.z_dim)))
+    return module.apply(params, x, eps, 0.0, method=module.hidden_feats)
+
+
+def recon_loss_fn(module, dist_params, target_flat):
+    if module.likelihood == "bernoulli":
+        (logit,) = dist_params
+        return loss_recon_bernoulli_with_logit(
+            logit, target_flat.reshape(logit.shape[0], -1), reduce="per_item"
+        )
+    mu, logvar = dist_params
+    return loss_recon_gaussian(
+        mu, logvar, target_flat.reshape(mu.shape[0], -1), reduce="per_item"
+    )
+
+
+def ivae_loss(module, params, key, x, nz, beta=1.0, noise_std=None):
+    """One model-forward pass: loss = mean(recon + beta * prior_energy).
+
+    Matches the reference loss (e.g. models/ivae/mnist.py:240-249): the
+    q-entropy term is deliberately absent — its gradient is injected by the
+    CDAE (see train/step.py). Returns (loss, dict of terms).
+    """
+    bsz = x.shape[0]
+    z = sample_latents(module, params, key, x, nz, noise_std)
+    z_flat = z.reshape(bsz * nz, -1)
+    dist_params = module.apply(params, z_flat, method=module.decode_params)
+    x_flat = x.reshape(bsz, -1)
+    target = jnp.broadcast_to(x_flat[:, None, :], (bsz, nz, x_flat.shape[-1]))
+    recon = recon_loss_fn(module, dist_params, target.reshape(bsz * nz, -1))
+    prior = normal_energy_func(z_flat)
+    loss = jnp.mean(recon + beta * prior)
+    return loss, {
+        "z": z,
+        "recon": jnp.mean(recon),
+        "prior": jnp.mean(prior),
+        "dist_params": dist_params,
+    }
+
+
+def generate(module, params, key, batch_size):
+    """Sample z ~ N(0, I), decode (reference models/ivae/mnist.py:303-316)."""
+    kz, kx = jax.random.split(key)
+    z = jax.random.normal(kz, (batch_size, module.z_dim))
+    dist_params = module.apply(params, z, method=module.decode_params)
+    if module.likelihood == "bernoulli":
+        (logit,) = dist_params
+        probs = jax.nn.sigmoid(logit)
+        sample = jax.random.bernoulli(kx, probs).astype(jnp.float32)
+        return sample, probs, z
+    mu, logvar = dist_params
+    from ardae_tpu.core.rng import sample_gaussian
+
+    return sample_gaussian(kx, mu, logvar), mu, z
+
+
+def logprob_iws(module, params, key, x, sample_size, jitter=0.0, noise_std=None):
+    """IWS log-likelihood with a covariance-Gaussian pseudo-posterior.
+
+    Vmapped re-design of reference models/ivae/mnist.py:378-437 (flat) and
+    models/ivae/auxmnist.py:297-357 (aux, jitter=1e-5): the per-item Python
+    loops (covariance, MVN sample/logpdf, decode) become one batched
+    Cholesky + triangular solve + a single decode over bsz*ssz rows.
+    Requires sample_size >= 2*z_dim for a full-rank covariance.
+    """
+    bsz = x.shape[0]
+    zdim = module.z_dim
+    k_enc, k_new = jax.random.split(key)
+
+    # implicit posterior samples: (bsz, ssz, zdim)
+    z = sample_latents(module, params, k_enc, x, sample_size, noise_std)
+    mu_qz = jnp.mean(z, axis=1)  # (bsz, zdim)
+    cov = jax.vmap(covmat)(z) + jitter * jnp.eye(zdim)  # (bsz, zdim, zdim)
+    chol = jnp.linalg.cholesky(cov)
+
+    # newz ~ N(mu_qz, cov) and its log-density
+    eps = jax.random.normal(k_new, (bsz, sample_size, zdim))
+    newz = mu_qz[:, None, :] + jnp.einsum("bij,bsj->bsi", chol, eps)
+    logposterior = jax.vmap(mvn_logprob)(newz, mu_qz, chol)  # (bsz, ssz)
+
+    # log p(z)
+    logprior = jnp.sum(logprob_gaussian(0.0, 0.0, newz), axis=-1)
+
+    # log p(x|z): one decode over all rows
+    dist_params = module.apply(
+        params, newz.reshape(bsz * sample_size, zdim), method=module.decode_params
+    )
+    x_flat = x.reshape(bsz, 1, -1)
+    target = jnp.broadcast_to(x_flat, (bsz, sample_size, x_flat.shape[-1]))
+    if module.likelihood == "bernoulli":
+        (logit,) = dist_params
+        logit = logit.reshape(bsz, sample_size, -1)
+        ll = -(
+            jnp.maximum(logit, 0.0)
+            - logit * target
+            + jnp.log1p(jnp.exp(-jnp.abs(logit)))
+        )
+        loglikelihood = jnp.sum(ll, axis=-1)
+    else:
+        mu, logvar = dist_params
+        mu = mu.reshape(bsz, sample_size, -1)
+        logvar = logvar.reshape(bsz, sample_size, -1)
+        loglikelihood = jnp.sum(logprob_gaussian(mu, logvar, target), axis=-1)
+
+    logw = loglikelihood + logprior - logposterior  # (bsz, ssz)
+    return jnp.mean(iwae_bound(logw, axis=1))

@@ -1,0 +1,88 @@
+"""Functional API for Gaussian-posterior baseline VAEs.
+
+Mirrors the implicit-model API (models/ivae/api.py) for the baseline zoo:
+ELBO loss (reference models/vae/mnist.py:131-160), IWAE logprob with the
+exact q density (reference :179-220), generation.
+"""
+
+import jax
+import jax.numpy as jnp
+
+from ardae_tpu.core.losses import (
+    iwae_bound,
+    loss_kld_gaussian,
+    loss_recon_bernoulli_with_logit,
+    loss_recon_gaussian,
+)
+from ardae_tpu.core.stats import logprob_gaussian
+from ardae_tpu.core.rng import sample_gaussian
+
+
+def _recon(module, dist_params, target_flat):
+    if module.likelihood == "bernoulli":
+        (logit,) = dist_params
+        return loss_recon_bernoulli_with_logit(
+            logit, target_flat.reshape(logit.shape[0], -1), reduce="per_item"
+        )
+    mu, logvar = dist_params
+    return loss_recon_gaussian(
+        mu, logvar, target_flat.reshape(mu.shape[0], -1), reduce="per_item"
+    )
+
+
+def vae_loss(module, params, key, x, beta=1.0):
+    """mean(recon + beta * KLD). Returns (loss, terms)."""
+    mu_z, logvar_z = module.apply(params, x, method=module.encode_params)
+    z = sample_gaussian(key, mu_z, logvar_z)
+    dist_params = module.apply(params, z, method=module.decode_params)
+    recon = _recon(module, dist_params, x)
+    kld = loss_kld_gaussian(mu_z, logvar_z, reduce="per_item")
+    loss = jnp.mean(recon + beta * kld)
+    return loss, {"recon": jnp.mean(recon), "kld": jnp.mean(kld), "z": z}
+
+
+def generate(module, params, key, batch_size):
+    kz, kx = jax.random.split(key)
+    z = jax.random.normal(kz, (batch_size, module.z_dim))
+    dist_params = module.apply(params, z, method=module.decode_params)
+    if module.likelihood == "bernoulli":
+        (logit,) = dist_params
+        probs = jax.nn.sigmoid(logit)
+        return jax.random.bernoulli(kx, probs).astype(jnp.float32), probs, z
+    mu, logvar = dist_params
+    return sample_gaussian(kx, mu, logvar), mu, z
+
+
+def logprob_iwae(module, params, key, x, sample_size):
+    """IWAE bound with the exact Gaussian q (reference models/vae/mnist.py:179-220)."""
+    bsz = x.shape[0]
+    zdim = module.z_dim
+    mu_qz, logvar_qz = module.apply(params, x, method=module.encode_params)
+    mu = jnp.broadcast_to(mu_qz[:, None, :], (bsz, sample_size, zdim))
+    logvar = jnp.broadcast_to(logvar_qz[:, None, :], (bsz, sample_size, zdim))
+    z = sample_gaussian(key, mu, logvar)
+    logposterior = jnp.sum(logprob_gaussian(mu, logvar, z), axis=-1)
+    logprior = jnp.sum(logprob_gaussian(0.0, 0.0, z), axis=-1)
+
+    dist_params = module.apply(
+        params, z.reshape(bsz * sample_size, zdim), method=module.decode_params
+    )
+    x_flat = x.reshape(bsz, 1, -1)
+    target = jnp.broadcast_to(x_flat, (bsz, sample_size, x_flat.shape[-1]))
+    if module.likelihood == "bernoulli":
+        (logit,) = dist_params
+        logit = logit.reshape(bsz, sample_size, -1)
+        ll = -(
+            jnp.maximum(logit, 0.0)
+            - logit * target
+            + jnp.log1p(jnp.exp(-jnp.abs(logit)))
+        )
+        loglikelihood = jnp.sum(ll, axis=-1)
+    else:
+        mu_x, logvar_x = dist_params
+        mu_x = mu_x.reshape(bsz, sample_size, -1)
+        logvar_x = logvar_x.reshape(bsz, sample_size, -1)
+        loglikelihood = jnp.sum(logprob_gaussian(mu_x, logvar_x, target), axis=-1)
+
+    logw = loglikelihood + logprior - logposterior
+    return jnp.mean(iwae_bound(logw, axis=1))

@@ -1,0 +1,107 @@
+"""Optimizers with exact torch-1.2 update semantics.
+
+The reference trains with a vendored torch Adam (utils/optim.py:9-110) and
+torch.optim.RMSprop (ivae_ardae.py:546-556). Their numerics differ from the
+optax defaults in where eps enters:
+  torch Adam:    p -= lr*sqrt(bc2)/bc1 * m / (sqrt(v) + eps)
+  optax adam:    p -= lr * (m/bc1) / (sqrt(v/bc2) + eps)
+  torch RMSprop: avg = sqrt(sq) + eps (eps OUTSIDE the sqrt); with momentum,
+                 buf = mu*buf + g/avg; p -= lr*buf.
+These are implemented exactly so training curves are comparable (SURVEY.md
+hard part 3).
+"""
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+
+class _AdamState(NamedTuple):
+    count: jnp.ndarray
+    mu: optax.Updates
+    nu: optax.Updates
+    max_nu: optax.Updates  # only used by amsgrad
+
+
+def torch_adam(lr: float, b1: float = 0.9, b2: float = 0.999, eps: float = 1e-8,
+               weight_decay: float = 0.0, amsgrad: bool = False):
+    """Exact replica of the reference's vendored Adam (utils/optim.py:50-110)."""
+
+    def init_fn(params):
+        zeros = jax.tree.map(jnp.zeros_like, params)
+        return _AdamState(jnp.zeros([], jnp.int32), zeros, zeros, zeros)
+
+    def update_fn(updates, state, params=None):
+        count = state.count + 1
+        bc1 = 1.0 - b1 ** count.astype(jnp.float32)
+        bc2 = 1.0 - b2 ** count.astype(jnp.float32)
+        if weight_decay != 0.0:
+            updates = jax.tree.map(lambda g, p: g + weight_decay * p, updates, params)
+        mu = jax.tree.map(lambda m, g: b1 * m + (1 - b1) * g, state.mu, updates)
+        nu = jax.tree.map(lambda v, g: b2 * v + (1 - b2) * g * g, state.nu, updates)
+        if amsgrad:
+            max_nu = jax.tree.map(jnp.maximum, state.max_nu, nu)
+            denom_src = max_nu
+        else:
+            max_nu = state.max_nu
+            denom_src = nu
+        step_size = lr * jnp.sqrt(bc2) / bc1
+        new_updates = jax.tree.map(
+            lambda m, v: -step_size * m / (jnp.sqrt(v) + eps), mu, denom_src
+        )
+        return new_updates, _AdamState(count, mu, nu, max_nu)
+
+    return optax.GradientTransformation(init_fn, update_fn)
+
+
+class _RMSPropState(NamedTuple):
+    sq: optax.Updates
+    buf: optax.Updates
+
+
+def torch_rmsprop(lr: float, alpha: float = 0.99, eps: float = 1e-8,
+                  momentum: float = 0.0):
+    """torch.optim.RMSprop semantics (eps outside sqrt, momentum on update)."""
+
+    def init_fn(params):
+        zeros = jax.tree.map(jnp.zeros_like, params)
+        return _RMSPropState(zeros, zeros)
+
+    def update_fn(updates, state, params=None):
+        sq = jax.tree.map(lambda s, g: alpha * s + (1 - alpha) * g * g, state.sq, updates)
+        if momentum > 0.0:
+            buf = jax.tree.map(
+                lambda b, g, s: momentum * b + g / (jnp.sqrt(s) + eps),
+                state.buf, updates, sq,
+            )
+            new_updates = jax.tree.map(lambda b: -lr * b, buf)
+        else:
+            buf = state.buf
+            new_updates = jax.tree.map(
+                lambda g, s: -lr * g / (jnp.sqrt(s) + eps), updates, sq
+            )
+        return new_updates, _RMSPropState(sq, buf)
+
+    return optax.GradientTransformation(init_fn, update_fn)
+
+
+def torch_sgd(lr: float, momentum: float = 0.0):
+    if momentum > 0.0:
+        return optax.sgd(lr, momentum=momentum)
+    return optax.sgd(lr)
+
+
+def build_optimizer(name: str, lr: float, beta1: float = 0.5, momentum: float = 0.5):
+    """Optimizer factory mirroring the driver flags
+    (reference ivae_ardae.py:546-556, 618-629)."""
+    if name == "sgd":
+        return torch_sgd(lr)
+    if name == "adam":
+        return torch_adam(lr, b1=beta1, b2=0.999)
+    if name == "amsgrad":
+        return torch_adam(lr, b1=beta1, b2=0.999, amsgrad=True)
+    if name == "rmsprop":
+        return torch_rmsprop(lr, momentum=momentum)
+    raise NotImplementedError(f"unknown optimizer: {name}")

@@ -1,0 +1,213 @@
+"""The jitted joint AR-DAE training step.
+
+One XLA computation per iteration reproducing the reference's alternating
+scheme (ivae_ardae.py:707-846; SURVEY.md 3.1):
+
+  PHASE A (x num_cdae_updates, each on its OWN data batch):
+    sigma_i   = delta * mean_d std_s( std_scale * (z_s - z_det) )   per item
+    stdmat    ~ sigma_i * N(0,1)  per (item, sample)                 [:761]
+    cdae loss = mse(sigma * score(x_bar, ctx, sigma), -eps)          [:768]
+    cdae optimizer step.
+
+  PHASE B (fresh batch):
+    model loss = mean(recon + beta * prior_energy)                   [:801]
+    entropy-gradient injection: instead of the reference's graph surgery
+    (model_loss.backward(retain_graph=True) then a second
+    .backward(gradient=beta*score/(bsz*nz)) — ivae_ardae.py:804,834), the
+    injected gradient is expressed as a differentiable surrogate term
+        aux = beta/(bsz*nz) * sum( stop_grad(score) *
+                                   std_scale * (z - stop_grad(z_det)) )
+    whose d/dz equals the injected gradient exactly (this is precisely the
+    contract of the reference's aux_loss_for_grad, models/aux.py:9-37).
+    model optimizer step.
+
+Both phases, both optimizers, the sigma statistics, and the noise draws jit
+into a single program: no host sync anywhere in the hot loop.
+"""
+
+import dataclasses
+from functools import partial
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+
+from ardae_tpu.models.cdae.cardae import cdae_loss, cdae_score
+from ardae_tpu.models.ivae import api as ivae_api
+from ardae_tpu.train.state import TrainState
+
+stop_grad = jax.lax.stop_gradient
+
+
+@dataclasses.dataclass(frozen=True)
+class StepConfig:
+    """Static configuration of the joint step (hashable: part of the jit key)."""
+
+    std_scale: float = 1.0
+    delta: float = 1.0
+    num_cdae_updates: int = 1
+    train_nz_cdae: int = 1
+    train_nstd_cdae: int = 1
+    train_nz_model: int = 1
+    ctx_type: str = "data"  # data | lt0 | hidden1a
+    noise_type: str = "gaussian"
+    weight_avg: str = "none"  # none | polyak | swa
+    weight_avg_start: int = 1000
+    weight_avg_decay: float = 0.998
+
+
+def compute_context(model, params_model, x, ctx_type: str):
+    """CDAE conditioning (reference ivae_ardae.py:729-741): always detached."""
+    if ctx_type == "data":
+        ctx = x.reshape(x.shape[0], -1)
+        if model.center_input:
+            ctx = 2.0 * ctx - 1.0
+        return ctx
+    if ctx_type == "lt0":
+        z = ivae_api.encode_det(model, params_model, x)  # (B, 1, zdim)
+        return stop_grad(z.reshape(z.shape[0], -1))
+    if ctx_type == "hidden1a":
+        h = ivae_api.encode_hidden_feats(model, params_model, x)
+        return stop_grad(h)
+    raise NotImplementedError(ctx_type)
+
+
+def _sigma_stats(model, params_model, key, x, cfg: StepConfig):
+    """Per-item adaptive noise level (reference ivae_ardae.py:748-758)."""
+    latent_mean = ivae_api.encode_det(model, params_model, x)  # (B,1,z)
+    latent = ivae_api.sample_latents(model, params_model, key, x, cfg.train_nz_cdae)
+    latent = stop_grad(latent)
+    latent_mean = stop_grad(latent_mean)
+    lsm = cfg.std_scale * (latent - latent_mean)  # (B,nz,z)
+    std_qz = jnp.std(lsm, axis=1, keepdims=True, ddof=1)  # (B,1,z), unbiased
+    sigma = cfg.delta * jnp.mean(std_qz, axis=2, keepdims=True)  # (B,1,1)
+    return lsm, sigma
+
+
+def cdae_update(model, cdae, opt_d, cfg: StepConfig, params_model, params_cdae,
+                opt_cdae_state, key, x):
+    """One PHASE-A update. Returns (params_cdae, opt_state, metrics)."""
+    bsz = x.shape[0]
+    k_lat, k_std, k_noise = jax.random.split(key, 3)
+
+    ctx = compute_context(model, params_model, x, cfg.ctx_type)
+    lsm, sigma = _sigma_stats(model, params_model, k_lat, x, cfg)
+
+    ns = cfg.train_nz_cdae * cfg.train_nstd_cdae
+    stdmat = sigma * jax.random.normal(k_std, (bsz, ns, 1))  # sigma~N(0, sigma_i^2)
+
+    # expand the nz samples across nstd (reference :764-767)
+    zdim = lsm.shape[-1]
+    lsm_exp = jnp.broadcast_to(
+        lsm[:, :, None, :], (bsz, cfg.train_nz_cdae, cfg.train_nstd_cdae, zdim)
+    ).reshape(bsz, ns, zdim)
+
+    def loss_fn(p):
+        return cdae_loss(cdae, p, k_noise, lsm_exp, ctx, stdmat, cfg.noise_type)
+
+    loss, grads = jax.value_and_grad(loss_fn)(params_cdae)
+    updates, opt_cdae_state = opt_d.update(grads, opt_cdae_state, params_cdae)
+    params_cdae = jax.tree.map(lambda p, u: p + u, params_cdae, updates)
+    metrics = {
+        "cdae_loss": loss,
+        "std_eff_mean": jnp.mean(sigma),
+        "std_eff_max": jnp.max(sigma),
+        "std_eff_min": jnp.min(sigma),
+    }
+    return params_cdae, opt_cdae_state, metrics
+
+
+def model_update(model, cdae, opt_m, cfg: StepConfig, params_cdae, params_model,
+                 opt_model_state, key, x, beta):
+    """PHASE B: ELBO-without-entropy + injected entropy gradient."""
+    bsz = x.shape[0]
+    nz = cfg.train_nz_model
+    k_fwd, k_det = jax.random.split(key)
+
+    def loss_fn(p):
+        model_loss, terms = ivae_api.ivae_loss(model, p, k_fwd, x, nz, beta=beta)
+        z = terms["z"]  # (B, nz, zdim)
+
+        ctx = stop_grad(compute_context(model, p, x, cfg.ctx_type))
+        latent_mean = stop_grad(ivae_api.encode_det(model, p, x))  # (B,1,z)
+        lsm_det = stop_grad(cfg.std_scale * (z - latent_mean))
+        score = stop_grad(cdae_score(cdae, params_cdae, lsm_det, ctx, 0.0))
+
+        aux = jnp.sum(score * (cfg.std_scale * (z - latent_mean)))
+        total = model_loss + beta * aux / (bsz * nz)
+        return total, (model_loss, terms["recon"], terms["prior"])
+
+    (_, (model_loss, recon, prior)), grads = jax.value_and_grad(
+        loss_fn, has_aux=True
+    )(params_model)
+    updates, opt_model_state = opt_m.update(grads, opt_model_state, params_model)
+    params_model = jax.tree.map(lambda p, u: p + u, params_model, updates)
+    metrics = {"model_loss": model_loss, "recon_loss": recon, "prior_loss": prior}
+    return params_model, opt_model_state, metrics
+
+
+def _update_weight_avg(cfg: StepConfig, state: TrainState) -> TrainState:
+    """SWA / Polyak running average of model params
+    (reference ivae_ardae.py:559-565 via torchcontrib)."""
+    if cfg.weight_avg == "none" or state.avg_params_model is None:
+        return state
+    started = state.step >= cfg.weight_avg_start
+    count = state.avg_count + jnp.where(started, 1, 0)
+    if cfg.weight_avg == "polyak":
+        d = cfg.weight_avg_decay
+
+        def blend(avg, p):
+            new = d * avg + (1.0 - d) * p
+            return jnp.where(started, new, p)
+
+    else:  # swa: running mean over post-start iterates
+
+        def blend(avg, p):
+            c = jnp.maximum(count, 1).astype(p.dtype)
+            new = avg + (p - avg) / c
+            return jnp.where(started, new, p)
+
+    avg = jax.tree.map(blend, state.avg_params_model, state.params_model)
+    return state.replace(avg_params_model=avg, avg_count=count)
+
+
+def build_train_step(model, cdae, opt_m, opt_d, cfg: StepConfig):
+    """Returns jitted step(state, cdae_batches, model_batch, key, beta).
+
+    cdae_batches: (num_cdae_updates, B, ...) — phase A consumes its own
+    batches, exactly like the reference's separate iterator pulls
+    (ivae_ardae.py:718-722 vs :790-794).
+    """
+
+    @jax.jit
+    def step(state: TrainState, cdae_batches, model_batch, key, beta):
+        k_all = jax.random.fold_in(key, state.step)
+        metrics = {}
+
+        params_cdae, opt_cdae_state = state.params_cdae, state.opt_cdae
+        for i in range(cfg.num_cdae_updates):
+            params_cdae, opt_cdae_state, m = cdae_update(
+                model, cdae, opt_d, cfg,
+                state.params_model, params_cdae, opt_cdae_state,
+                jax.random.fold_in(k_all, i), cdae_batches[i],
+            )
+            metrics.update(m)  # keep the last update's stats, like the logs
+
+        k_model = jax.random.fold_in(k_all, 1000)
+        params_model, opt_model_state, m = model_update(
+            model, cdae, opt_m, cfg, params_cdae,
+            state.params_model, state.opt_model, k_model, model_batch, beta,
+        )
+        metrics.update(m)
+
+        state = state.replace(
+            step=state.step + 1,
+            params_model=params_model,
+            opt_model=opt_model_state,
+            params_cdae=params_cdae,
+            opt_cdae=opt_cdae_state,
+        )
+        state = _update_weight_avg(cfg, state)
+        return state, metrics
+
+    return step
