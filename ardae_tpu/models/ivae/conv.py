@@ -1,0 +1,69 @@
+"""MNIST conv implicit-posterior VAE — the flagship benchmark model
+(reference models/ivae/conv.py:562-823; north-star config of BASELINE.md).
+
+Conv trunk runs ONCE per item; noise concat happens at fc4 over the
+bsz*nz flattened rows (reference :625-654). Decoder is the conv VAE's
+deconv decoder (reference :17 imports models/vae/conv.Decoder).
+Whole model xavier-initialized by default (do_xavier=True, reference :682-686).
+"""
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from ardae_tpu.nn.activations import get_nonlinear_func
+from ardae_tpu.nn.initializers import xavier_uniform_init, zeros_init
+from ardae_tpu.nn.linear import Linear
+from ardae_tpu.models.vae.conv import ConvDecoder, ConvEncoderTrunk
+
+
+class ConvIPVAE(nn.Module):
+    input_height: int = 28
+    input_channels: int = 1
+    z_dim: int = 32
+    noise_dim: int = 100
+    nonlinearity: str = "softplus"
+    do_xavier: bool = True
+
+    family: str = "flat"
+    likelihood: str = "bernoulli"
+    center_input: bool = True
+
+    def setup(self):
+        self.trunk = ConvEncoderTrunk(
+            self.input_height, self.input_channels, self.nonlinearity,
+            xavier=self.do_xavier, name="trunk",
+        )
+        lin_kwargs = (
+            dict(kernel_init=xavier_uniform_init, bias_init=zeros_init)
+            if self.do_xavier else {}
+        )
+        self.fc4 = Linear(800, **lin_kwargs, name="fc4")
+        self.fc5 = Linear(self.z_dim, **lin_kwargs, name="fc5")
+        self.decode = ConvDecoder(
+            self.input_height, self.input_channels, self.nonlinearity,
+            xavier=self.do_xavier, name="decode",
+        )
+
+    def encode_inp(self, x):
+        return self.trunk(x)
+
+    def encode_all(self, inp, nos):
+        afun = get_nonlinear_func(self.nonlinearity)
+        h4 = afun(self.fc4(jnp.concatenate([inp, nos], axis=1)))
+        return self.fc5(h4)
+
+    def sample_z(self, x, eps):
+        bsz = x.shape[0]
+        nz = eps.shape[0] // bsz
+        inp = self.encode_inp(x)
+        inp = jnp.broadcast_to(inp[:, None, :], (bsz, nz, inp.shape[-1]))
+        z = self.encode_all(inp.reshape(bsz * nz, -1), eps)
+        return z.reshape(bsz, nz, self.z_dim)
+
+    def decode_params(self, z_flat):
+        return self.decode(z_flat)
+
+    def __call__(self, x, eps):
+        z = self.sample_z(x, eps)
+        (logit,) = self.decode(z.reshape(-1, self.z_dim))
+        return z, (logit,)

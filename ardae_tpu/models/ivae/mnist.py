@@ -15,40 +15,10 @@ from ardae_tpu.nn.linear import Linear
 from ardae_tpu.nn.mlp import MLP
 
 
-class _XavierMLP(nn.Module):
-    """MLP with xavier-uniform kernels and zero biases (weight_init parity,
-    reference models/ivae/mnist.py:20-25)."""
+import functools
 
-    hidden_dim: int
-    output_dim: int
-    nonlinearity: str = "softplus"
-    num_hidden_layers: int = 1
-    use_nonlinearity_output: bool = False
-
-    @nn.compact
-    def __call__(self, x):
-        from ardae_tpu.nn.activations import get_nonlinear_func
-
-        afun = get_nonlinear_func(self.nonlinearity)
-        h = x.reshape(x.shape[0], -1)
-        for i in range(self.num_hidden_layers):
-            h = afun(
-                Linear(
-                    self.hidden_dim,
-                    kernel_init=xavier_uniform_init,
-                    bias_init=zeros_init,
-                    name=f"layers_{i}",
-                )(h)
-            )
-        out = Linear(
-            self.output_dim,
-            kernel_init=xavier_uniform_init,
-            bias_init=zeros_init,
-            name="fc",
-        )(h)
-        if self.use_nonlinearity_output:
-            out = afun(out)
-        return out
+# xavier-everywhere MLP (weight_init parity, reference models/ivae/mnist.py:20-25)
+_XavierMLP = functools.partial(MLP, xavier=True)
 
 
 class MNISTConcatEncoder(nn.Module):

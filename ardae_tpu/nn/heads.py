@@ -40,11 +40,22 @@ class NormalHead(nn.Module):
     features: int
     clip: Optional[str] = None
     mean_kernel_init: Optional[Callable] = None
+    xavier: bool = False
 
     @nn.compact
     def __call__(self, h):
-        mu = Linear(self.features, kernel_init=self.mean_kernel_init, name="mean_fn")(h)
-        logvar = clip_logvar(Linear(self.features, name="logvar_fn")(h), self.clip)
+        from ardae_tpu.nn.initializers import xavier_uniform_init, zeros_init
+
+        xav = (
+            dict(kernel_init=xavier_uniform_init, bias_init=zeros_init)
+            if self.xavier
+            else {}
+        )
+        mean_kwargs = dict(xav)
+        if self.mean_kernel_init is not None:
+            mean_kwargs["kernel_init"] = self.mean_kernel_init
+        mu = Linear(self.features, **mean_kwargs, name="mean_fn")(h)
+        logvar = clip_logvar(Linear(self.features, **xav, name="logvar_fn")(h), self.clip)
         return mu, logvar
 
 

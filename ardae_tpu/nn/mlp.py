@@ -35,25 +35,35 @@ _N01 = normal_init(1.0)
 
 
 class MLP(nn.Module):
+    """xavier=True switches every layer to xavier-uniform kernels + zero
+    biases (the reference's weight_init, models/ivae/mnist.py:20-25)."""
+
     hidden_dim: int
     output_dim: int
     nonlinearity: str = "relu"
     num_hidden_layers: int = 1
     use_nonlinearity_output: bool = False
     gaussian_out_init: bool = False
+    xavier: bool = False
 
     @nn.compact
     def __call__(self, x):
+        from ardae_tpu.nn.initializers import xavier_uniform_init, zeros_init
+
         afun = get_nonlinear_func(self.nonlinearity)
+        xav = (
+            dict(kernel_init=xavier_uniform_init, bias_init=zeros_init)
+            if self.xavier
+            else {}
+        )
         x = x.reshape(x.shape[0], -1)
         h = x
         for i in range(self.num_hidden_layers):
-            h = afun(Linear(self.hidden_dim, name=f"layers_{i}")(h))
-        out = Linear(
-            self.output_dim,
-            kernel_init=_N01 if self.gaussian_out_init else None,
-            name="fc",
-        )(h)
+            h = afun(Linear(self.hidden_dim, **xav, name=f"layers_{i}")(h))
+        out_kwargs = dict(xav)
+        if self.gaussian_out_init:
+            out_kwargs["kernel_init"] = _N01
+        out = Linear(self.output_dim, **out_kwargs, name="fc")(h)
         if self.use_nonlinearity_output:
             out = afun(out)
         return out
