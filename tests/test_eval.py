@@ -29,24 +29,51 @@ def test_logprob_iws_finite_and_scalar():
     assert bool(jnp.isfinite(lp))
 
 
-def test_logprob_iws_matches_prior_sampling_estimate():
-    """Both the cov-Gaussian IWS bound and brute-force prior sampling estimate
-    log p(x); with many samples on a 2-D latent they must agree closely."""
-    model, params, x = _toy_ipvae()
-    ssz = 4096
-    lp_iws = float(ivae_api.logprob_iws(model, params, KEY, x, sample_size=ssz))
+class _LinearGaussianIVAE(__import__("flax.linen", fromlist=["Module"]).Module):
+    """Analytic test model conforming to the flat IVAE API:
+    q(z|x) implicit = N(Ax, I); p(x|z) = N(Bz, I); p(z) = N(0,I)
+    => log p(x) = log N(x; 0, B B^T + I) exactly."""
 
-    # brute force: log p(x) ~= log mean_k p(x | z_k), z_k ~ N(0, I)
-    k = jax.random.PRNGKey(9)
-    bsz = x.shape[0]
-    z = jax.random.normal(k, (bsz, ssz, 2))
-    mu, logvar = model.apply(params, z.reshape(-1, 2), method=model.decode_params)
-    mu = mu.reshape(bsz, ssz, 2)
-    logvar = logvar.reshape(bsz, ssz, 2)
-    ll = jnp.sum(logprob_gaussian(mu, logvar, x[:, None, :]), axis=-1)
-    lp_prior = float(jnp.mean(iwae_bound(ll, axis=1)))
+    A: jnp.ndarray
+    B: jnp.ndarray
+    z_dim: int = 2
+    family: str = "flat"
+    likelihood: str = "gaussian"
+    noise_dim: int = 2
+    center_input: bool = False
 
-    assert abs(lp_iws - lp_prior) < 0.25, (lp_iws, lp_prior)
+    def sample_z(self, x, eps):
+        bsz = x.shape[0]
+        nz = eps.shape[0] // bsz
+        mu = x @ self.A.T
+        mu = jnp.broadcast_to(mu[:, None, :], (bsz, nz, self.z_dim))
+        return mu + eps.reshape(bsz, nz, self.z_dim)
+
+    def decode_params(self, z_flat):
+        return z_flat @ self.B.T, jnp.zeros((z_flat.shape[0], self.B.shape[0]))
+
+    def __call__(self, x, eps):
+        z = self.sample_z(x, eps)
+        return z, self.decode_params(z.reshape(-1, self.z_dim))
+
+
+def test_logprob_iws_exact_on_linear_gaussian():
+    """The full IWS path (implicit samples -> covariance -> Cholesky -> MVN
+    proposal -> IWAE bound) must recover the analytic log p(x) on a
+    linear-Gaussian model (SURVEY.md 4a/4b test strategy)."""
+    A = jnp.array([[0.5, 0.1], [-0.2, 0.3]])
+    B = jnp.array([[1.0, 0.4], [-0.3, 0.8]])
+    model = _LinearGaussianIVAE(A=A, B=B)
+    params = {"params": {}}
+    x = jnp.array([[0.7, -1.2], [1.5, 0.3], [0.0, 0.0]])
+
+    lp = float(ivae_api.logprob_iws(model, params, KEY, x, sample_size=2048))
+
+    cov = B @ B.T + jnp.eye(2)
+    from ardae_tpu.core.stats import mvn_logprob
+
+    exact = float(jnp.mean(mvn_logprob(x, jnp.zeros(2), jnp.linalg.cholesky(cov))))
+    assert abs(lp - exact) < 0.05, (lp, exact)
 
 
 def test_vae_iwae_logprob_close_to_neg_elbo():
