@@ -1,0 +1,178 @@
+"""Shared driver plumbing: experiment naming/resume, host index streams,
+IWS evaluation, visualization cadence helpers.
+
+Mirrors the reference drivers' infra (ivae_ardae.py:209-292, vae.py:137-200):
+the experiment identity is the flag-string itself, runs resume into the
+latest timestamped directory, and `final` mode trains on train+val up to the
+best checkpoint's iteration.
+"""
+
+import datetime
+import glob
+import os
+
+import jax
+import numpy as np
+
+from ardae_tpu.io.logging import get_time, logging
+
+
+def resolve_experiment_path(cache, experiment, resume):
+    """Timestamped experiment dir; resume picks the latest matching one
+    (reference ivae_ardae.py:263-274)."""
+    base = os.path.join(cache, experiment)
+    if resume:
+        listing = glob.glob(base + "-19*") + glob.glob(base + "-20*")
+        if listing:
+            def _key(p):
+                return datetime.datetime.strptime(p, base + "-%y%m%d-%H:%M:%S")
+
+            path = sorted(listing, key=_key)[-1]
+        else:
+            path = f"{base}-{get_time()}"
+    else:
+        path = f"{base}-{get_time()}"
+    os.makedirs(path, exist_ok=True)
+    return path
+
+
+class IndexStream:
+    """Host-side shuffled-epoch batch-index stream (drop-remainder).
+
+    Replaces the reference's torch DataLoader iterator: the actual rows live
+    in HBM; only int32 index arrays cross the host boundary, in chunks.
+    """
+
+    def __init__(self, n, batch_size, seed=0):
+        self.n = n
+        self.bs = batch_size
+        self.per_epoch = n // batch_size
+        self._rng = np.random.default_rng(seed)
+        self._perm = self._rng.permutation(n)
+        self._pos = 0
+
+    def take(self, k):
+        """(k, bs) int32 of k consecutive shuffled batches."""
+        out = np.empty((k, self.bs), np.int64)
+        for i in range(k):
+            if self._pos + self.bs > self.per_epoch * self.bs:
+                self._perm = self._rng.permutation(self.n)
+                self._pos = 0
+            out[i] = self._perm[self._pos : self._pos + self.bs]
+            self._pos += self.bs
+        return out.astype(np.int32)
+
+
+def chunk_until_boundary(i_ep, intervals, steps_per_epoch=None, end_iter=None,
+                         max_chunk=200):
+    """Largest k such that no cadence boundary falls strictly inside
+    (i_ep, i_ep+k): boundaries happen when (i_ep+j) % interval == 0.
+
+    Epoch boundaries are NOT chunk boundaries (the index stream reshuffles
+    internally); keeping k constant avoids re-jitting the scanned step for
+    every distinct chunk length.
+    """
+    k = max_chunk
+    for interval in intervals:
+        if interval and interval > 0:
+            rem = interval - (i_ep % interval)
+            k = min(k, rem)
+    if end_iter is not None:
+        k = min(k, max(1, end_iter - i_ep))
+    return max(1, k)
+
+
+def enable_compile_cache():
+    """Persistent XLA compilation cache: the scanned joint step takes minutes
+    to compile through the axon TPU tunnel; later driver runs start warm."""
+    import os
+
+    import jax
+
+    path = os.path.expanduser("~/.cache/ardae_jax_cache")
+    os.makedirs(path, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", path)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 10)
+
+
+def evaluate_iws_ivae(model, params, eval_data, iws_samples, key,
+                      binarize=False, batch=None, jitter=0.0):
+    """Mean IWS logprob over an eval split (reference ivae_ardae.py:644-673).
+
+    The bound is per-item, so the grouping batch size does not change the
+    math — we use a throughput-friendly internal batch regardless of the
+    --eval-batch-size flag.
+    """
+    import jax.numpy as jnp
+
+    from ardae_tpu.models.ivae.api import logprob_iws
+
+    if batch is None:
+        batch = max(1, min(256, (1 << 22) // (iws_samples * 28 * 28)))
+
+    @jax.jit
+    def one(params, x, key):
+        return logprob_iws(model, params, key, x, iws_samples, jitter=jitter)
+
+    data = jnp.asarray(eval_data)
+    total, count = 0.0, 0
+    for start in range(0, (data.shape[0] // batch) * batch, batch):
+        x = data[start : start + batch]
+        key, sub = jax.random.split(key)
+        if binarize:
+            key, kb = jax.random.split(key)
+            x = jax.random.bernoulli(kb, x).astype(jnp.float32)
+        total += float(one(params, x, sub)) * x.shape[0]
+        count += x.shape[0]
+    tail = data.shape[0] - count
+    if tail > 0:
+        x = data[-tail:]
+        key, sub = jax.random.split(key)
+        if binarize:
+            key, kb = jax.random.split(key)
+            x = jax.random.bernoulli(kb, x).astype(jnp.float32)
+        total += float(one(params, x, sub)) * tail
+        count += tail
+    return total / max(count, 1)
+
+
+def evaluate_iwae_vae(model, params, eval_data, iws_samples, key,
+                      binarize=False, batch=None, aux=False):
+    """Mean exact-q IWAE logprob (+ELBO) over an eval split
+    (reference vae.py:345-377). Returns (elbo, logprob)."""
+    import jax.numpy as jnp
+
+    from ardae_tpu.models.vae.api import logprob_iwae, vae_loss
+    from ardae_tpu.models.vae.aux import aux_logprob_iwae, aux_vae_loss
+
+    if batch is None:
+        batch = max(1, min(256, (1 << 22) // (iws_samples * 28 * 28)))
+
+    lp_fn = aux_logprob_iwae if aux else logprob_iwae
+    loss_fn = aux_vae_loss if aux else vae_loss
+
+    @jax.jit
+    def one(params, x, key):
+        k1, k2 = jax.random.split(key)
+        lp = lp_fn(model, params, k1, x, iws_samples)
+        loss, _ = loss_fn(model, params, k2, x)
+        return lp, loss
+
+    data = jnp.asarray(eval_data)
+    total_lp, total_loss, count = 0.0, 0.0, 0
+    n = data.shape[0]
+    for start in range(0, n, batch):
+        x = data[start : start + batch]
+        key, sub = jax.random.split(key)
+        if binarize:
+            key, kb = jax.random.split(key)
+            x = jax.random.bernoulli(kb, x).astype(jnp.float32)
+        lp, loss = one(params, x, sub)
+        total_lp += float(lp) * x.shape[0]
+        total_loss += float(loss) * x.shape[0]
+        count += x.shape[0]
+    return -total_loss / max(count, 1), total_lp / max(count, 1)
+
+
+class EndIterError(Exception):
+    """Final-mode stop (reference utils/msc.py:112-113)."""

@@ -1,0 +1,369 @@
+"""Baseline VAE trainer CLI — flag surface of the reference /root/reference/
+vae.py:28-127, TPU-native internals (single optimizer, loss scaled by
+1/(C*H*W) before the update — vae.py:410-411, IWAE eval with the exact q).
+"""
+
+import argparse
+import sys
+import time
+
+import numpy as np
+
+
+def build_parser():
+    p = argparse.ArgumentParser()
+    p.add_argument("--dataset", default="swissroll",
+                   choices=["swissroll", "25gaussians", "sbmnist", "dbmnist",
+                            "dbmnist-val5k"])
+    p.add_argument("--model", default="mnist",
+                   choices=["toy", "toy-maf", "mnist", "conv", "resconv",
+                            "resconvct", "auxtoy", "auxmnist", "auxconv",
+                            "auxresconv", "auxresconvct"])
+    p.add_argument("--model-z-dim", type=int, default=8)
+    p.add_argument("--model-h-dim", type=int, default=300)
+    p.add_argument("--model-n-dim", type=int, default=0)
+    p.add_argument("--model-n-layers", type=int, default=1)
+    p.add_argument("--model-nonlin", default="softplus")
+    p.add_argument("--model-clip-logvar", default="none")
+    p.add_argument("--nheight", type=int, default=28)
+    p.add_argument("--nchannels", type=int, default=1)
+    p.add_argument("--lr", type=float, default=0.0001)
+    p.add_argument("--epochs", type=int, default=32000)
+    p.add_argument("--train-batch-size", type=int, default=64)
+    p.add_argument("--eval-batch-size", type=int, default=32)
+    p.add_argument("--optimizer", default="adam",
+                   choices=["sgd", "adam", "amsgrad", "rmsprop"])
+    p.add_argument("--start-epoch", type=int, default=1)
+    p.add_argument("--start-batch-idx", type=int, default=0)
+    p.add_argument("--beta1", type=float, default=0.5)
+    p.add_argument("--momentum", type=float, default=0.5)
+    p.add_argument("--beta-init", type=float, default=1.0)
+    p.add_argument("--beta-fin", type=float, default=1.0)
+    p.add_argument("--beta-annealing", type=float, default=None)
+    p.add_argument("--iws-samples", type=int, default=512)
+    p.add_argument("--weight-avg", default="none",
+                   choices=["none", "swa", "polyak"])
+    p.add_argument("--weight-avg-start", type=int, default=1000)
+    p.add_argument("--weight-avg-decay", type=float, default=0.998)
+    p.add_argument("--train-mode", default="train", choices=["train", "final"])
+    p.add_argument("--no-cuda", action="store_true", default=False)
+    p.add_argument("--log-interval", type=int, default=500)
+    p.add_argument("--vis-interval", type=int, default=5000)
+    p.add_argument("--eval-iws-interval", type=int, default=1000)
+    p.add_argument("--ckpt-interval", type=int, default=10000)
+    p.add_argument("--sav-interval", type=int, default=0)
+    p.add_argument("--resume", dest="resume", action="store_true", default=True)
+    p.add_argument("--no-resume", dest="resume", action="store_false")
+    p.add_argument("--cache", default=None)
+    p.add_argument("--experiment", default=None)
+    p.add_argument("--exp-num", type=int, default=None)
+    # ardae_tpu extensions
+    p.add_argument("--data-root", default="data")
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--toy-train-size", type=int, default=2_000_000)
+    p.add_argument("--max-iters", type=int, default=None)
+    return p
+
+
+def derive_experiment(opt):
+    """(reference vae.py:140-163)"""
+    parts = [
+        "vae",
+        opt.dataset,
+        "m{}-mz{}-mh{}-mn{}-mnh{}-ma{}-mcl{}".format(
+            opt.model, opt.model_z_dim, opt.model_h_dim, opt.model_n_dim,
+            opt.model_n_layers, opt.model_nonlin, opt.model_clip_logvar),
+        ("{}-bt1{}".format(opt.optimizer, opt.beta1)
+         if opt.optimizer in ("adam", "amsgrad")
+         else "{}-mt{}".format(opt.optimizer, opt.momentum)),
+        "lr{}".format(opt.lr),
+        "wa{}{}".format(
+            opt.weight_avg,
+            "-was{}-wad{}".format(opt.weight_avg_start, opt.weight_avg_decay)
+            if opt.weight_avg != "none" else ""),
+        "tbs{}".format(opt.train_batch_size),
+        "binit{}-bfin{}-bann{:d}".format(
+            opt.beta_init, opt.beta_fin,
+            int(opt.beta_annealing) if opt.beta_annealing is not None else 0),
+        "exp{}".format(opt.exp_num if opt.exp_num else 0),
+    ]
+    return "-".join(parts)
+
+
+def main(argv=None):
+    opt = build_parser().parse_args(argv)
+
+    import jax
+    import jax.numpy as jnp
+
+    from ardae_tpu.cli.common import (
+        EndIterError,
+        IndexStream,
+        chunk_until_boundary,
+        enable_compile_cache,
+        evaluate_iwae_vae,
+        resolve_experiment_path,
+    )
+    from ardae_tpu.core.annealing import annealing_func
+    from ardae_tpu.data import get_dataset
+    from ardae_tpu.io.checkpoint import load_checkpoint, load_end_iter, save_checkpoint
+    from ardae_tpu.io.logging import logging, make_writer
+    from ardae_tpu.models.registry import build_vae_model
+    from ardae_tpu.models.vae.api import generate as vae_generate
+    from ardae_tpu.models.vae.api import vae_loss
+    from ardae_tpu.models.vae.aux import aux_vae_loss
+    from ardae_tpu.train.optim import build_optimizer
+    from ardae_tpu.train.state import TrainState
+    from ardae_tpu.train.step import StepConfig, _update_weight_avg
+    from ardae_tpu.utils.visualization import (
+        convert_npimage_torchimage,
+        get_2d_histogram_plot,
+        get_grid_image,
+        get_scatter_plot,
+    )
+
+    enable_compile_cache()
+
+    if opt.beta_annealing is None or opt.beta_annealing < 1:
+        opt.beta_annealing = None
+    opt.best_val_loss = None
+
+    if opt.cache is None:
+        opt.cache = "experiments"
+    if opt.experiment is None:
+        opt.experiment = derive_experiment(opt)
+    opt.path = resolve_experiment_path(opt.cache, opt.experiment, opt.resume)
+    logging(str(opt), path=opt.path)
+    writer = make_writer(opt.path)
+
+    final_mode = opt.train_mode == "final"
+    prefix = "final-" if final_mode else ""
+    end_iter = load_end_iter(opt.path, "best-checkpoint") if final_mode else None
+
+    toy_sizes = None
+    if opt.toy_train_size != 2_000_000:
+        toy_sizes = dict(train=opt.toy_train_size,
+                         test=max(opt.toy_train_size // 100, 1000),
+                         val=max(opt.toy_train_size // 1000, 500))
+    splits = get_dataset(opt.dataset, root=opt.data_root, final_mode=final_mode,
+                         toy_sizes=toy_sizes)
+    info = splits["info"]
+    is_mnist = "mnist" in opt.dataset
+    train_np = splits["train"]
+    n_train = train_np.shape[0]
+    bs = opt.train_batch_size
+    steps_per_epoch = n_train // bs
+    binarize = bool(info.get("binarize", False))
+
+    model = build_vae_model(
+        opt.model, nchannels=opt.nchannels, nheight=opt.nheight,
+        z_dim=opt.model_z_dim, h_dim=opt.model_h_dim, n_dim=opt.model_n_dim,
+        n_layers=opt.model_n_layers, nonlin=opt.model_nonlin,
+        clip_logvar=opt.model_clip_logvar,
+    )
+    is_aux = model.family == "aux_gaussian_posterior"
+    loss_fn = aux_vae_loss if is_aux else vae_loss
+
+    key = jax.random.PRNGKey(opt.seed)
+    k_init, k_train, k_eval = jax.random.split(key, 3)
+    x0 = jnp.zeros((bs, opt.nchannels * opt.nheight * opt.nheight), jnp.float32)
+    params = model.init(k_init, x0)
+    logging(f"model params: "
+            f"{sum(x.size for x in jax.tree.leaves(params)):,}", path=opt.path)
+
+    tx = build_optimizer(opt.optimizer, opt.lr, beta1=opt.beta1,
+                         momentum=opt.momentum)
+    state = TrainState(
+        step=jnp.zeros([], jnp.int32), params_model=params,
+        opt_model=tx.init(params), params_cdae={}, opt_cdae=(),
+        avg_params_model=(jax.tree.map(jnp.array, params)
+                          if opt.weight_avg != "none" else None),
+        avg_count=(jnp.zeros([], jnp.int32)
+                   if opt.weight_avg != "none" else None),
+    )
+
+    scale = 1.0 / float(opt.nchannels * opt.nheight * opt.nheight)
+    wa_cfg = StepConfig(weight_avg=opt.weight_avg,
+                        weight_avg_start=opt.weight_avg_start,
+                        weight_avg_decay=opt.weight_avg_decay)
+
+    def beta_fn(step):
+        return annealing_func(opt.beta_init, opt.beta_fin, opt.beta_annealing, step)
+
+    from functools import partial
+
+    @partial(jax.jit, static_argnames=("binarize_flag",), donate_argnums=(0,))
+    def chunk_fn(state, data, m_idx, key, binarize_flag=False):
+        def body(state, idx):
+            k = jax.random.fold_in(key, state.step)
+            batch = jnp.take(data, idx, axis=0)
+            if binarize_flag:
+                batch = jax.random.bernoulli(
+                    jax.random.fold_in(k, 7), batch).astype(jnp.float32)
+            beta = beta_fn(state.step)
+
+            def loss_f(p):
+                loss, terms = loss_fn(model, p, k, batch, beta=beta)
+                return scale * loss, terms
+
+            (loss, terms), grads = jax.value_and_grad(loss_f, has_aux=True)(
+                state.params_model)
+            updates, opt_state = tx.update(grads, state.opt_model,
+                                           state.params_model)
+            new_params = jax.tree.map(lambda p, u: p + u, state.params_model,
+                                      updates)
+            state = state.replace(step=state.step + 1, params_model=new_params,
+                                  opt_model=opt_state)
+            state = _update_weight_avg(wa_cfg, state)
+            metrics = {"loss": loss, "recon_loss": terms["recon"],
+                       "kld_loss": terms["kld"]}
+            return state, metrics
+
+        return jax.lax.scan(body, state, m_idx)
+
+    restored = load_checkpoint(state, opt.path, f"{prefix}checkpoint")
+    i_ep = 0
+    if restored is not None:
+        state, meta = restored
+        i_ep = int(meta["i_ep"])
+        opt.best_val_loss = (None if float(meta["best_val_loss"]) == -np.inf
+                             else float(meta["best_val_loss"]))
+
+    data_dev = jax.device_put(jnp.asarray(train_np))
+    stream = IndexStream(n_train, bs, seed=opt.seed + 1)
+    eval_params = lambda s: (s.avg_params_model
+                             if opt.weight_avg != "none" else s.params_model)
+
+    def ckpt_meta():
+        return {
+            "i_ep": i_ep,
+            "epoch": i_ep // steps_per_epoch + 1,
+            "batch_idx": i_ep % steps_per_epoch,
+            "train_num_iters_per_epoch": steps_per_epoch,
+            "best_val_loss": (opt.best_val_loss if opt.best_val_loss is not None
+                              else -np.inf),
+        }
+
+    def visualize(state, i_ep):
+        params = state.params_model
+        kv = jax.random.fold_in(k_eval, i_ep)
+        if is_mnist:
+            gen, gmu, _ = vae_generate(model, params, kv, 64) if not is_aux \
+                else vae_generate(model, params, kv, 64)
+            grid = get_grid_image(np.asarray(gmu), 64, opt.nchannels, opt.nheight)
+            writer.add_image(f"{opt.train_mode}/gen/mean", grid, i_ep)
+        else:
+            gen, gmu, _ = vae_generate(model, params, kv, 4096)
+            _gen = get_2d_histogram_plot(np.asarray(gen), val=6, num=128)
+            writer.add_image(f"{opt.train_mode}/gen/heatmap",
+                             convert_npimage_torchimage(_gen), i_ep)
+            _sc = get_scatter_plot(np.asarray(gen), xlim=6, ylim=6)
+            writer.add_image(f"{opt.train_mode}/gen/scatter",
+                             convert_npimage_torchimage(_sc), i_ep)
+        writer.flush()
+
+    total_iters = opt.epochs * steps_per_epoch
+    if opt.max_iters is not None:
+        total_iters = min(total_iters, opt.max_iters)
+    start_time = time.time()
+    try:
+        while i_ep < total_iters:
+            if final_mode and i_ep >= end_iter:
+                raise EndIterError
+            k = chunk_until_boundary(
+                i_ep,
+                [opt.log_interval, opt.vis_interval,
+                 opt.eval_iws_interval if opt.eval_iws_interval > 0 else None,
+                 opt.ckpt_interval],
+                end_iter=end_iter,
+            )
+            k = min(k, total_iters - i_ep)
+            m_idx = jnp.asarray(stream.take(k))
+            state, metrics = chunk_fn(state, data_dev, m_idx, k_train,
+                                      binarize_flag=binarize)
+            i_ep += k
+            epoch = (i_ep - 1) // steps_per_epoch + 1
+            batch_idx = (i_ep - 1) % steps_per_epoch + 1
+
+            if i_ep % opt.log_interval == 0:
+                m = {kk: float(v[-1]) for kk, v in metrics.items()}
+                beta = float(beta_fn(i_ep - 1))
+                elapsed = time.time() - start_time
+                elbo = -(m["recon_loss"] + m["kld_loss"])
+                logging(
+                    "| iter {:d} | epoch {:3d} | {:5d}/{:5d} | ms/step {:5.2f} "
+                    "| beta {:5.3f} | loss {:5.4f} | loss (recon) {:5.4f} "
+                    "| loss (kld) {:5.4f} | elbo {:5.4f} ".format(
+                        i_ep, epoch, batch_idx, steps_per_epoch,
+                        elapsed * 1000 / opt.log_interval, beta,
+                        m["loss"], m["recon_loss"], m["kld_loss"], elbo),
+                    path=opt.path)
+                mode = opt.train_mode
+                writer.add_scalar(f"{mode}/model/elbo/step", elbo, i_ep)
+                writer.add_scalar(f"{mode}/model/loss/step", m["loss"], i_ep)
+                writer.add_scalar(f"{mode}/model/recon/step", m["recon_loss"], i_ep)
+                writer.add_scalar(f"{mode}/model/kld/step", m["kld_loss"], i_ep)
+                writer.add_scalar(f"{mode}/model/beta/step", beta, i_ep)
+                start_time = time.time()
+
+            if (opt.train_mode == "train" and opt.eval_iws_interval > 0
+                    and i_ep % opt.eval_iws_interval == 0):
+                t0 = time.time()
+                elbo, logprob = evaluate_iwae_vae(
+                    model, eval_params(state), splits["val"], opt.iws_samples,
+                    jax.random.fold_in(k_eval, i_ep), binarize=binarize,
+                    aux=is_aux)
+                writer.add_scalar("val/elbo/step", elbo, i_ep)
+                writer.add_scalar("val/logprob/iws/step", logprob, i_ep)
+                logging("-" * 89, path=opt.path)
+                logging("| val       | iter {:d} | epoch {:3d} | {:5d}/{:5d} "
+                        "| sec/step {:5.2f} | elbo {:.4f} "
+                        "| logprob (iws) {:.4f} ".format(
+                            i_ep, epoch, batch_idx, steps_per_epoch,
+                            time.time() - t0, elbo, logprob), path=opt.path)
+                logging("-" * 89, path=opt.path)
+                if opt.best_val_loss is None or logprob > opt.best_val_loss:
+                    opt.best_val_loss = logprob
+                    save_checkpoint(state, ckpt_meta(), opt.path, "best-checkpoint")
+
+            if i_ep % opt.vis_interval == 0:
+                visualize(state, i_ep)
+            if opt.ckpt_interval and i_ep % opt.ckpt_interval == 0:
+                save_checkpoint(state, ckpt_meta(), opt.path, f"{prefix}checkpoint")
+
+    except KeyboardInterrupt:
+        writer.flush()
+        logging("-" * 89, path=opt.path)
+        logging("Exiting from training early", path=opt.path)
+        logging("-" * 89, path=opt.path)
+        return 0
+    except EndIterError:
+        save_checkpoint(state, ckpt_meta(), opt.path, f"{prefix}checkpoint")
+        writer.flush()
+        logging("End of training (final)", path=opt.path)
+
+    if opt.dataset in ("swissroll", "25gaussians"):
+        visualize(state, i_ep)
+        writer.close()
+    else:
+        flavor = f"{prefix}checkpoint" if final_mode else "best-checkpoint"
+        restored = load_checkpoint(state, opt.path, flavor)
+        if restored is not None:
+            state, _ = restored
+        t0 = time.time()
+        elbo, logprob = evaluate_iwae_vae(
+            model, eval_params(state), splits["test"], opt.iws_samples,
+            jax.random.fold_in(k_eval, 999_983), binarize=binarize, aux=is_aux)
+        writer.add_scalar("test/elbo/step", elbo, 0)
+        writer.add_scalar("test/logprob/iws/step", logprob, 0)
+        logging("-" * 89, path=opt.path)
+        logging("| test       | sec/step {:5.2f} | elbo {:.4f} "
+                "| logprob (iws) {:.4f} ".format(time.time() - t0, elbo, logprob),
+                path=opt.path)
+        logging("-" * 89, path=opt.path)
+        writer.close()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -22,10 +22,19 @@ def _ckpt_dir(path: str, filename: str) -> str:
 
 
 def save_checkpoint(state, meta: dict, path: str, filename: str = "checkpoint"):
-    """Save TrainState + metadata. Overwrites any existing checkpoint."""
+    """Save TrainState + metadata. Overwrites any existing checkpoint.
+
+    The state pytree is stored as a flat leaves dict (leaf_0..leaf_N); the
+    caller's live state provides the treedef at restore time, which makes
+    the format robust to custom dataclass node types.
+    """
     target = _ckpt_dir(path, filename)
     ckptr = ocp.StandardCheckpointer()
-    payload = {"state": state, "meta": {k: np.asarray(v) for k, v in meta.items()}}
+    leaves = jax.tree.leaves(state)
+    payload = {
+        "leaves": {f"leaf_{i}": v for i, v in enumerate(leaves)},
+        "meta": {k: np.asarray(v) for k, v in meta.items()},
+    }
     if os.path.exists(target):
         import shutil
 
@@ -42,15 +51,12 @@ def load_checkpoint(abstract_state, path: str, filename: str = "checkpoint"):
         print(f"=> no checkpoint found at '{target}'")
         return None
     ckptr = ocp.StandardCheckpointer()
-    abstract = {
-        "state": jax.tree.map(ocp.utils.to_shape_dtype_struct, abstract_state),
-        "meta": None,
-    }
-    # restore metadata untyped first
     restored = ckptr.restore(target)
-    state = jax.tree.map(
-        lambda a, b: jax.numpy.asarray(b), abstract_state, restored["state"]
-    )
+    leaves_dict = restored["leaves"]
+    leaves = [jax.numpy.asarray(leaves_dict[f"leaf_{i}"])
+              for i in range(len(leaves_dict))]
+    treedef = jax.tree.structure(abstract_state)
+    state = jax.tree.unflatten(treedef, leaves)
     meta = {k: np.asarray(v).item() if np.asarray(v).ndim == 0 else np.asarray(v)
             for k, v in restored["meta"].items()}
     print(f"=> loaded checkpoint '{target}'")

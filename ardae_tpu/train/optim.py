@@ -30,8 +30,13 @@ def torch_adam(lr: float, b1: float = 0.9, b2: float = 0.999, eps: float = 1e-8,
     """Exact replica of the reference's vendored Adam (utils/optim.py:50-110)."""
 
     def init_fn(params):
-        zeros = jax.tree.map(jnp.zeros_like, params)
-        return _AdamState(jnp.zeros([], jnp.int32), zeros, zeros, zeros)
+        # independent buffers (not one aliased pytree): donation-safe
+        return _AdamState(
+            jnp.zeros([], jnp.int32),
+            jax.tree.map(jnp.zeros_like, params),
+            jax.tree.map(jnp.zeros_like, params),
+            jax.tree.map(jnp.zeros_like, params),
+        )
 
     def update_fn(updates, state, params=None):
         count = state.count + 1
@@ -66,8 +71,10 @@ def torch_rmsprop(lr: float, alpha: float = 0.99, eps: float = 1e-8,
     """torch.optim.RMSprop semantics (eps outside sqrt, momentum on update)."""
 
     def init_fn(params):
-        zeros = jax.tree.map(jnp.zeros_like, params)
-        return _RMSPropState(zeros, zeros)
+        return _RMSPropState(
+            jax.tree.map(jnp.zeros_like, params),
+            jax.tree.map(jnp.zeros_like, params),
+        )
 
     def update_fn(updates, state, params=None):
         sq = jax.tree.map(lambda s, g: alpha * s + (1 - alpha) * g * g, state.sq, updates)

@@ -8,6 +8,7 @@ RNG cannot restore (SURVEY.md 5, checkpoint/resume).
 from typing import Any
 
 import flax.struct
+import jax
 import jax.numpy as jnp
 
 
@@ -31,6 +32,9 @@ def create_train_state(params_model, opt_model_tx, params_cdae, opt_cdae_tx,
         opt_model=opt_model_tx.init(params_model),
         params_cdae=params_cdae,
         opt_cdae=opt_cdae_tx.init(params_cdae),
-        avg_params_model=params_model if weight_avg != "none" else None,
+        # independent copy: donation-safe (no aliasing with params_model)
+        avg_params_model=(
+            jax.tree.map(jnp.array, params_model) if weight_avg != "none" else None
+        ),
         avg_count=jnp.zeros([], jnp.int32) if weight_avg != "none" else None,
     )

@@ -171,6 +171,92 @@ def _update_weight_avg(cfg: StepConfig, state: TrainState) -> TrainState:
     return state.replace(avg_params_model=avg, avg_count=count)
 
 
+def _one_step(model, cdae, opt_m, opt_d, cfg: StepConfig, state: TrainState,
+              cdae_batches, model_batch, key, beta):
+    """Shared body of the jitted single step and the scanned multi-step."""
+    k_all = jax.random.fold_in(key, state.step)
+    metrics = {}
+
+    params_cdae, opt_cdae_state = state.params_cdae, state.opt_cdae
+    for i in range(cfg.num_cdae_updates):
+        params_cdae, opt_cdae_state, m = cdae_update(
+            model, cdae, opt_d, cfg,
+            state.params_model, params_cdae, opt_cdae_state,
+            jax.random.fold_in(k_all, i), cdae_batches[i],
+        )
+        metrics.update(m)  # keep the last update's stats, like the logs
+
+    k_model = jax.random.fold_in(k_all, 1000)
+    params_model, opt_model_state, m = model_update(
+        model, cdae, opt_m, cfg, params_cdae,
+        state.params_model, state.opt_model, k_model, model_batch, beta,
+    )
+    metrics.update(m)
+
+    state = state.replace(
+        step=state.step + 1,
+        params_model=params_model,
+        opt_model=opt_model_state,
+        params_cdae=params_cdae,
+        opt_cdae=opt_cdae_state,
+    )
+    state = _update_weight_avg(cfg, state)
+    return state, metrics
+
+
+def build_train_chunk(model, cdae, opt_m, opt_d, cfg: StepConfig,
+                      beta_fn=None):
+    """K steps per device dispatch: lax.scan over the single joint step.
+
+    This is the TPU-native replacement for the reference's per-iteration
+    Python loop: the training data lives in HBM, per-step batches are
+    device-side gathers of host-provided index arrays (preserving exact
+    shuffled-epoch semantics), and ALL K steps of both phases + optimizer
+    updates compile into one XLA program. Host work per dispatch is O(1).
+
+      chunk(state, data, cdae_idx[K,U,B], model_idx[K,B], key, beta0)
+        -> (state, stacked metrics dict of shape [K])
+
+    data is the full (possibly gray, pre-binarization) train array in HBM;
+    cfg-driven on-device bernoulli binarization happens per gather when
+    binarize=True. ``beta_fn(step)`` computes per-step annealed beta inside
+    the scan (defaults to the constant beta0 argument).
+    """
+
+    def gather(data, idx, key):
+        batch = jnp.take(data, idx, axis=0)
+        return batch
+
+    @partial(jax.jit, static_argnames=("binarize",), donate_argnums=(0,))
+    def chunk(state: TrainState, data, cdae_idx, model_idx, key, beta0,
+              binarize: bool = False):
+        def body(state, per_step):
+            c_idx, m_idx = per_step
+            k = jax.random.fold_in(key, state.step)
+            cdae_batches = jnp.take(data, c_idx.reshape(-1), axis=0).reshape(
+                c_idx.shape[0], c_idx.shape[1], -1
+            )
+            model_batch = jnp.take(data, m_idx, axis=0)
+            if binarize:
+                kb1, kb2 = jax.random.split(jax.random.fold_in(k, 7))
+                cdae_batches = jax.random.bernoulli(kb1, cdae_batches).astype(
+                    jnp.float32
+                )
+                model_batch = jax.random.bernoulli(kb2, model_batch).astype(
+                    jnp.float32
+                )
+            beta = beta_fn(state.step) if beta_fn is not None else beta0
+            state, metrics = _one_step(
+                model, cdae, opt_m, opt_d, cfg, state,
+                cdae_batches, model_batch, key, beta,
+            )
+            return state, metrics
+
+        return jax.lax.scan(body, state, (cdae_idx, model_idx))
+
+    return chunk
+
+
 def build_train_step(model, cdae, opt_m, opt_d, cfg: StepConfig):
     """Returns jitted step(state, cdae_batches, model_batch, key, beta).
 
@@ -181,33 +267,7 @@ def build_train_step(model, cdae, opt_m, opt_d, cfg: StepConfig):
 
     @jax.jit
     def step(state: TrainState, cdae_batches, model_batch, key, beta):
-        k_all = jax.random.fold_in(key, state.step)
-        metrics = {}
-
-        params_cdae, opt_cdae_state = state.params_cdae, state.opt_cdae
-        for i in range(cfg.num_cdae_updates):
-            params_cdae, opt_cdae_state, m = cdae_update(
-                model, cdae, opt_d, cfg,
-                state.params_model, params_cdae, opt_cdae_state,
-                jax.random.fold_in(k_all, i), cdae_batches[i],
-            )
-            metrics.update(m)  # keep the last update's stats, like the logs
-
-        k_model = jax.random.fold_in(k_all, 1000)
-        params_model, opt_model_state, m = model_update(
-            model, cdae, opt_m, cfg, params_cdae,
-            state.params_model, state.opt_model, k_model, model_batch, beta,
-        )
-        metrics.update(m)
-
-        state = state.replace(
-            step=state.step + 1,
-            params_model=params_model,
-            opt_model=opt_model_state,
-            params_cdae=params_cdae,
-            opt_cdae=opt_cdae_state,
-        )
-        state = _update_weight_avg(cfg, state)
-        return state, metrics
+        return _one_step(model, cdae, opt_m, opt_d, cfg, state,
+                         cdae_batches, model_batch, key, beta)
 
     return step

@@ -1,0 +1,59 @@
+"""Checkpoint save/restore roundtrip incl. meta (SURVEY.md 5)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ardae_tpu.io.checkpoint import load_checkpoint, load_end_iter, save_checkpoint
+from ardae_tpu.models.cdae import MLPGradCARDAE
+from ardae_tpu.models.ivae.toy import ToyIPVAE
+from ardae_tpu.train.optim import build_optimizer
+from ardae_tpu.train.state import create_train_state
+
+KEY = jax.random.PRNGKey(0)
+
+
+def _make_state():
+    model = ToyIPVAE(input_dim=2, noise_dim=2, h_dim=8, z_dim=2,
+                     num_hidden_layers=1, enc_type="concat")
+    cdae = MLPGradCARDAE(input_dim=2, context_dim=2, h_dim=8, num_hidden_layers=1)
+    pm = model.init(KEY, jnp.zeros((2, 2)), jnp.zeros((2, 2)))
+    pc = cdae.init(KEY, jnp.zeros((2, 2)), jnp.zeros((2, 2)), jnp.zeros((2, 1)))
+    opt_m = build_optimizer("adam", 1e-3)
+    opt_d = build_optimizer("rmsprop", 1e-3, momentum=0.5)
+    return create_train_state(pm, opt_m, pc, opt_d)
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    state = _make_state()
+    state = state.replace(step=jnp.asarray(17, jnp.int32))
+    meta = {"i_ep": 17, "epoch": 2, "batch_idx": 3,
+            "train_num_iters_per_epoch": 14, "best_val_loss": -1.25}
+    save_checkpoint(state, meta, str(tmp_path), "checkpoint")
+    restored = load_checkpoint(state, str(tmp_path), "checkpoint")
+    assert restored is not None
+    state2, meta2 = restored
+    assert int(state2.step) == 17
+    assert meta2["i_ep"] == 17 and abs(meta2["best_val_loss"] + 1.25) < 1e-9
+    a = jax.tree.leaves(state.params_model)
+    b = jax.tree.leaves(state2.params_model)
+    for x, y in zip(a, b):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+    # overwrite works
+    save_checkpoint(state, {**meta, "i_ep": 18}, str(tmp_path), "checkpoint")
+    _, meta3 = load_checkpoint(state, str(tmp_path), "checkpoint")
+    assert meta3["i_ep"] == 18
+
+
+def test_missing_checkpoint_returns_none(tmp_path):
+    state = _make_state()
+    assert load_checkpoint(state, str(tmp_path), "nope") is None
+
+
+def test_load_end_iter(tmp_path):
+    state = _make_state()
+    meta = {"i_ep": 41, "epoch": 3, "batch_idx": 13,
+            "train_num_iters_per_epoch": 14, "best_val_loss": 0.0}
+    save_checkpoint(state, meta, str(tmp_path), "best-checkpoint")
+    # reference formula: (epoch-1)*iters + batch_idx - 1 (utils/msc.py:98-110)
+    assert load_end_iter(str(tmp_path), "best-checkpoint") == (3 - 1) * 14 + 13 - 1
