@@ -78,13 +78,28 @@ class CARDAE(nn.Module):
                     name="inp_encode",
                 )
         out_dim = 1 if self.score_type == "grad" else self.input_dim
-        self.trunk = MLP(
+        # The trunk's first layer is SPLIT: the per-row part (noisy input
+        # features + sigma) and the per-ITEM context part are separate
+        # matmuls, and the context contribution is computed once per item and
+        # broadcast across the nz sample axis. Mathematically identical to a
+        # single Linear over the concat (linear in each block), but the
+        # context matmul (and its parameter-gradient) shrinks by a factor nz
+        # — the dominant per-step saving at nz_cdae=625 (SURVEY.md 3.1).
+        trunk_name = "dae" if self.score_type == "res" else "neglogprob"
+        assert nhl >= 1
+        from ardae_tpu.nn.linear import Linear
+
+        self.trunk_l0_row = Linear(self.h_dim, name=f"{trunk_name}_l0_row")
+        if self.conditional:
+            self.trunk_l0_ctx = Linear(self.h_dim, use_bias=False,
+                                       name=f"{trunk_name}_l0_ctx")
+        self.trunk_rest = MLP(
             hidden_dim=self.h_dim,
             output_dim=out_dim,
             nonlinearity=self.nonlinearity,
-            num_hidden_layers=nhl,
+            num_hidden_layers=nhl - 1,
             use_nonlinearity_output=False,
-            name="dae" if self.score_type == "res" else "neglogprob",
+            name=trunk_name,
         )
 
     def encode_ctx(self, ctx):
@@ -93,45 +108,59 @@ class CARDAE(nn.Module):
             raise ValueError("unconditional DAE has no context path")
         return self.ctx_encode(ctx) if self.enc_ctx else ctx
 
-    def _trunk_in(self, x, ctx_feat, std):
-        parts = []
-        parts.append(self.inp_encode(x) if (self.conditional and self.enc_input) else x)
-        if self.conditional:
-            parts.append(ctx_feat)
+    def _trunk(self, x, ctx_l0, std):
+        """ctx_l0: per-item first-layer context contribution (bsz, h) already
+        computed (or None); broadcast-added across the row axis."""
+        from ardae_tpu.nn.activations import get_nonlinear_func
+
+        parts = [self.inp_encode(x) if (self.conditional and self.enc_input) else x]
         if self.sigma_conditioned:
             parts.append(std)
-        return jnp.concatenate(parts, axis=-1)
+        row_in = jnp.concatenate(parts, axis=-1) if len(parts) > 1 else parts[0]
+        h = self.trunk_l0_row(row_in)
+        if ctx_l0 is not None:
+            n = x.shape[0]
+            bsz = ctx_l0.shape[0]
+            nz = n // bsz
+            h = h + jnp.broadcast_to(
+                ctx_l0[:, None, :], (bsz, nz, self.h_dim)
+            ).reshape(n, self.h_dim)
+        h = get_nonlinear_func(self.nonlinearity)(h)
+        return self.trunk_rest(h)
 
-    def raw_score(self, x, ctx_feat, std):
+    def ctx_l0(self, ctx):
+        """Per-item context features -> first-layer contribution (bsz, h)."""
+        return self.trunk_l0_ctx(self.encode_ctx(ctx))
+
+    def raw_score(self, x, ctx_l0, std):
         """Direct-score path: (n, z_dim) rows -> (n, z_dim) scores."""
         assert self.score_type == "res"
-        return self.trunk(self._trunk_in(x, ctx_feat, std))
+        return self._trunk(x, ctx_l0, std)
 
-    def energy(self, x, ctx_feat, std):
+    def energy(self, x, ctx_l0, std):
         """Scalar neg-log-prob per row (gradient style), (n,) shaped."""
         assert self.score_type == "grad"
-        return self.trunk(self._trunk_in(x, ctx_feat, std))[:, 0]
+        return self._trunk(x, ctx_l0, std)[:, 0]
 
     def __call__(self, x, context, std):
         # full path (used for flax init so every submodule gets parameters):
         # context here is the RAW context, not pre-encoded features.
-        ctx_feat = self.encode_ctx(context) if self.conditional else None
+        ctx_l0 = self.ctx_l0(context) if self.conditional else None
         if self.score_type == "res":
-            return self.raw_score(x, ctx_feat, std)
-        return self.energy(x, ctx_feat, std)
+            return self.raw_score(x, ctx_l0, std)
+        return self.energy(x, ctx_l0, std)
 
 
 def _flatten3(t):
     return t.reshape(-1, t.shape[-1])
 
 
-def _ctx_feat(module, params, context, sample_size):
-    """Encode context once per item, broadcast over the sample axis, flatten."""
+def _ctx_l0(module, params, context):
+    """Per-item first-layer context contribution (computed ONCE per item;
+    broadcast-added inside the trunk)."""
     if context.ndim == 3:
         context = context.reshape(context.shape[0], -1)
-    feat = module.apply(params, context, method=module.encode_ctx)
-    feat = jnp.broadcast_to(feat[:, None, :], (feat.shape[0], sample_size, feat.shape[-1]))
-    return _flatten3(feat)
+    return module.apply(params, context, method=module.ctx_l0)
 
 
 def cdae_score(module, params, latent, context, std):
@@ -143,7 +172,7 @@ def cdae_score(module, params, latent, context, std):
     """
     bsz, ssz, zdim = latent.shape
     x = _flatten3(latent)
-    ctx = _ctx_feat(module, params, context, ssz)
+    ctx = _ctx_l0(module, params, context)
     stdv = jnp.broadcast_to(jnp.asarray(std, latent.dtype), (bsz, ssz, 1)).reshape(-1, 1)
 
     if module.score_type == "res":
@@ -167,7 +196,7 @@ def cdae_loss(module, params, key, latent, context, std, noise_type: str = "gaus
     """
     bsz, ssz, zdim = latent.shape
     x = _flatten3(latent)
-    ctx = _ctx_feat(module, params, context, ssz)
+    ctx = _ctx_l0(module, params, context)
     stdv = jnp.broadcast_to(jnp.asarray(std, latent.dtype), (bsz, ssz, 1)).reshape(-1, 1)
 
     if noise_type == "gaussian":

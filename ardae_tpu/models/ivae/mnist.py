@@ -42,14 +42,15 @@ class MNISTConcatEncoder(nn.Module):
             use_nonlinearity_output=True,
             name="inp_encode",
         )
-        self.fc = MLP(
-            hidden_dim=self.h_dim,
-            output_dim=self.z_dim,
-            nonlinearity=self.nonlinearity,
-            num_hidden_layers=1,
-            use_nonlinearity_output=False,
-            gaussian_out_init=self.init_mode == "gaussian",
-            name="fc",
+        # first fc layer split into trunk/noise parts (see conv.py note)
+        self.fc_l0_inp = Linear(self.h_dim, name="fc_l0_inp")
+        self.fc_l0_eps = Linear(self.h_dim, use_bias=False, name="fc_l0_eps")
+        from ardae_tpu.nn.initializers import normal_init
+
+        self.fc_out = Linear(
+            self.z_dim,
+            kernel_init=normal_init(1.0) if self.init_mode == "gaussian" else None,
+            name="fc_out",
         )
 
     def forward_inp(self, x):
@@ -57,14 +58,22 @@ class MNISTConcatEncoder(nn.Module):
         return self.inp_encode(2.0 * x - 1.0)
 
     def forward_all(self, inp, nos):
-        return self.fc(jnp.concatenate([inp, nos], axis=1))
+        from ardae_tpu.nn.activations import get_nonlinear_func
+
+        afun = get_nonlinear_func(self.nonlinearity)
+        h = afun(self.fc_l0_inp(inp) + self.fc_l0_eps(nos))
+        return self.fc_out(h)
 
     def __call__(self, x, eps):
+        from ardae_tpu.nn.activations import get_nonlinear_func
+
+        afun = get_nonlinear_func(self.nonlinearity)
         bsz = x.shape[0]
         nz = eps.shape[0] // bsz
-        inp = self.forward_inp(x)
-        inp = jnp.broadcast_to(inp[:, None, :], (bsz, nz, inp.shape[-1]))
-        z = self.forward_all(inp.reshape(bsz * nz, -1), eps)
+        h_inp = self.fc_l0_inp(self.forward_inp(x))  # once per item
+        h_inp = jnp.broadcast_to(h_inp[:, None, :], (bsz, nz, self.h_dim))
+        h = afun(h_inp.reshape(bsz * nz, self.h_dim) + self.fc_l0_eps(eps))
+        z = self.fc_out(h)
         return z.reshape(bsz, nz, self.z_dim)
 
 

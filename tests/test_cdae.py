@@ -124,8 +124,8 @@ def test_grad_style_score_is_gradient_of_energy():
     # (float32 finite differences are too imprecise here; f64 fd was verified
     # to match this autodiff gradient during development)
     def energy(xx):
-        feat = module.apply(params, ctx, method=module.encode_ctx)
-        return module.apply(params, xx, feat, jnp.zeros((5, 1)), method=module.energy)
+        l0 = module.apply(params, ctx, method=module.ctx_l0)
+        return module.apply(params, xx, l0, jnp.zeros((5, 1)), method=module.energy)
 
     g = jax.grad(lambda xx: -jnp.sum(energy(xx)))(x)
     np.testing.assert_allclose(score, g, rtol=1e-5)
