@@ -25,9 +25,26 @@ class _AdamState(NamedTuple):
     max_nu: optax.Updates  # only used by amsgrad
 
 
-def torch_adam(lr: float, b1: float = 0.9, b2: float = 0.999, eps: float = 1e-8,
+def step_lr(base_lr: float, step_size: int, gamma: float = 0.1,
+            min_lr: float = 0.0):
+    """StepLR schedule with a floor (reference utils/lr_scheduler.py:6-39):
+    lr(t) = max(min_lr, base * gamma^(t // step_size)). Pass as the ``lr``
+    of torch_adam/torch_rmsprop (they accept schedules)."""
+
+    def sched(count):
+        return jnp.maximum(min_lr, base_lr * gamma ** (count // step_size))
+
+    return sched
+
+
+def _as_sched(lr):
+    return lr if callable(lr) else (lambda count: lr)
+
+
+def torch_adam(lr, b1: float = 0.9, b2: float = 0.999, eps: float = 1e-8,
                weight_decay: float = 0.0, amsgrad: bool = False):
-    """Exact replica of the reference's vendored Adam (utils/optim.py:50-110)."""
+    """Exact replica of the reference's vendored Adam (utils/optim.py:50-110).
+    ``lr`` may be a float or a schedule(count)->lr callable."""
 
     def init_fn(params):
         # independent buffers (not one aliased pytree): donation-safe
@@ -52,7 +69,7 @@ def torch_adam(lr: float, b1: float = 0.9, b2: float = 0.999, eps: float = 1e-8,
         else:
             max_nu = state.max_nu
             denom_src = nu
-        step_size = lr * jnp.sqrt(bc2) / bc1
+        step_size = _as_sched(lr)(state.count) * jnp.sqrt(bc2) / bc1
         new_updates = jax.tree.map(
             lambda m, v: -step_size * m / (jnp.sqrt(v) + eps), mu, denom_src
         )
@@ -61,35 +78,39 @@ def torch_adam(lr: float, b1: float = 0.9, b2: float = 0.999, eps: float = 1e-8,
     return optax.GradientTransformation(init_fn, update_fn)
 
 
-class _RMSPropState(NamedTuple):
+class _RMSPropStateC(NamedTuple):
+    count: jnp.ndarray
     sq: optax.Updates
     buf: optax.Updates
 
 
-def torch_rmsprop(lr: float, alpha: float = 0.99, eps: float = 1e-8,
+def torch_rmsprop(lr, alpha: float = 0.99, eps: float = 1e-8,
                   momentum: float = 0.0):
-    """torch.optim.RMSprop semantics (eps outside sqrt, momentum on update)."""
+    """torch.optim.RMSprop semantics (eps outside sqrt, momentum on update).
+    ``lr`` may be a float or a schedule(count)->lr callable."""
 
     def init_fn(params):
-        return _RMSPropState(
+        return _RMSPropStateC(
+            jnp.zeros([], jnp.int32),
             jax.tree.map(jnp.zeros_like, params),
             jax.tree.map(jnp.zeros_like, params),
         )
 
     def update_fn(updates, state, params=None):
+        cur_lr = _as_sched(lr)(state.count)
         sq = jax.tree.map(lambda s, g: alpha * s + (1 - alpha) * g * g, state.sq, updates)
         if momentum > 0.0:
             buf = jax.tree.map(
                 lambda b, g, s: momentum * b + g / (jnp.sqrt(s) + eps),
                 state.buf, updates, sq,
             )
-            new_updates = jax.tree.map(lambda b: -lr * b, buf)
+            new_updates = jax.tree.map(lambda b: -cur_lr * b, buf)
         else:
             buf = state.buf
             new_updates = jax.tree.map(
-                lambda g, s: -lr * g / (jnp.sqrt(s) + eps), updates, sq
+                lambda g, s: -cur_lr * g / (jnp.sqrt(s) + eps), updates, sq
             )
-        return new_updates, _RMSPropState(sq, buf)
+        return new_updates, _RMSPropStateC(state.count + 1, sq, buf)
 
     return optax.GradientTransformation(init_fn, update_fn)
 
