@@ -170,3 +170,98 @@ def logprob_iws(module, params, key, x, sample_size, jitter=0.0, noise_std=None)
 
     logw = loglikelihood + logprior - logposterior  # (bsz, ssz)
     return jnp.mean(iwae_bound(logw, axis=1))
+
+
+def _loglik_and_prior(module, params, x, newz):
+    """Shared tail of every logprob variant: log p(x|z) + log p(z)."""
+    bsz, ssz, zdim = newz.shape
+    logprior = jnp.sum(logprob_gaussian(0.0, 0.0, newz), axis=-1)
+    dist_params = module.apply(
+        params, newz.reshape(bsz * ssz, zdim), method=module.decode_params
+    )
+    x_flat = x.reshape(bsz, 1, -1)
+    target = jnp.broadcast_to(x_flat, (bsz, ssz, x_flat.shape[-1]))
+    if module.likelihood == "bernoulli":
+        (logit,) = dist_params
+        logit = logit.reshape(bsz, ssz, -1)
+        ll = -(
+            jnp.maximum(logit, 0.0)
+            - logit * target
+            + jnp.log1p(jnp.exp(-jnp.abs(logit)))
+        )
+        loglikelihood = jnp.sum(ll, axis=-1)
+    else:
+        mu, logvar = dist_params
+        mu = mu.reshape(bsz, ssz, -1)
+        logvar = logvar.reshape(bsz, ssz, -1)
+        loglikelihood = jnp.sum(logprob_gaussian(mu, logvar, target), axis=-1)
+    return loglikelihood, logprior
+
+
+def logprob_kde(module, params, key, x, sample_size, noise_std=None):
+    """IWS bound with a Gaussian-KDE pseudo-posterior built from implicit
+    samples (reference models/ivae/mnist.py:321-376, which calls scipy's
+    gaussian_kde per item in a Python loop) — here a jax-native KDE with
+    Scott's-rule bandwidth, fully vmapped over the batch."""
+    bsz = x.shape[0]
+    zdim = module.z_dim
+    k_enc, k_pick, k_noise = jax.random.split(key, 3)
+
+    z = sample_latents(module, params, k_enc, x, sample_size, noise_std)
+    # Scott factor: n^(-1/(d+4)); kernel cov = cov(z) * factor^2
+    factor = sample_size ** (-1.0 / (zdim + 4))
+    cov = jax.vmap(covmat)(z) * factor**2 + 1e-9 * jnp.eye(zdim)
+    chol = jnp.linalg.cholesky(cov)
+
+    # resample: random kernel center + kernel noise
+    idx = jax.random.randint(k_pick, (bsz, sample_size), 0, sample_size)
+    centers = jnp.take_along_axis(z, idx[:, :, None], axis=1)
+    eps = jax.random.normal(k_noise, (bsz, sample_size, zdim))
+    newz = centers + jnp.einsum("bij,bsj->bsi", chol, eps)
+
+    # KDE log-density: logsumexp over kernels
+    def kde_logpdf(pts, data, ch):
+        diff = pts[:, None, :] - data[None, :, :]  # (ssz_new, ssz_data, d)
+        import jax.scipy.linalg as jsl
+
+        sol = jsl.solve_triangular(
+            ch, diff.reshape(-1, zdim).T, lower=True
+        ).T.reshape(diff.shape)
+        maha = jnp.sum(sol**2, axis=-1)
+        logdet = 2.0 * jnp.sum(jnp.log(jnp.diagonal(ch)))
+        lognorm = 0.5 * (logdet + zdim * jnp.log(2.0 * jnp.pi))
+        from jax.scipy.special import logsumexp
+
+        return logsumexp(-0.5 * maha - lognorm, axis=1) - jnp.log(data.shape[0])
+
+    logposterior = jax.vmap(kde_logpdf)(newz, z, chol)
+    loglikelihood, logprior = _loglik_and_prior(module, params, x, newz)
+    logw = loglikelihood + logprior - logposterior
+    return jnp.mean(iwae_bound(logw, axis=1))
+
+
+def logprob_diag(module, params, key, x, sample_size, noise_std=None):
+    """IWS bound with a DIAGONAL Gaussian pseudo-posterior
+    (reference models/ivae/mnist.py:439-486)."""
+    bsz = x.shape[0]
+    zdim = module.z_dim
+    k_enc, k_new = jax.random.split(key)
+    z = sample_latents(module, params, k_enc, x, sample_size, noise_std)
+    mu = jnp.mean(z, axis=1, keepdims=True)
+    logvar = jnp.log(jnp.var(z, axis=1, keepdims=True) + 1e-10)
+    eps = jax.random.normal(k_new, (bsz, sample_size, zdim))
+    newz = mu + jnp.exp(0.5 * logvar) * eps
+    logposterior = jnp.sum(logprob_gaussian(mu, logvar, newz), axis=-1)
+    loglikelihood, logprior = _loglik_and_prior(module, params, x, newz)
+    logw = loglikelihood + logprior - logposterior
+    return jnp.mean(iwae_bound(logw, axis=1))
+
+
+def logprob_prior(module, params, key, x, sample_size, z=None):
+    """Brute-force log p(x) ~= log mean_k p(x|z_k), z_k ~ N(0, I)
+    (reference models/ivae/mnist.py:488-518)."""
+    bsz = x.shape[0]
+    if z is None:
+        z = jax.random.normal(key, (bsz, sample_size, module.z_dim))
+    loglikelihood, _ = _loglik_and_prior(module, params, x, z)
+    return jnp.mean(iwae_bound(loglikelihood, axis=1))

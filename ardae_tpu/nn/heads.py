@@ -73,3 +73,32 @@ class BernoulliHead(nn.Module):
             # the logit bias; modeled at init time by the caller instead.
             pass
         return logit
+
+
+class CategoricalHead(nn.Module):
+    """Linear class logits (reference models/reparam.py:264-278)."""
+
+    num_class: int
+
+    @nn.compact
+    def __call__(self, h):
+        return Linear(self.num_class, name="logit_fn")(h)
+
+
+def sample_logistic_sigmoid(key, logits, temperature: float = 1.0, eps=1e-20):
+    """Binary-Concrete relaxation sample (reference models/reparam.py:111-121):
+    sigmoid((logits + log(u/(1-u) + eps)) / temperature), u ~ U(0,1)."""
+    import jax
+
+    noise = jax.random.uniform(key, jnp.shape(logits))
+    logistic = jnp.log(noise / (1.0 - noise) + eps)
+    return jax.nn.sigmoid((logits + logistic) / temperature)
+
+
+def sample_gumbel_softmax(key, logits, temperature: float = 1.0, eps=1e-20):
+    """Gumbel-Softmax relaxation sample (reference models/reparam.py:211-232)."""
+    import jax
+
+    noise = jax.random.uniform(key, jnp.shape(logits))
+    gumbel = -jnp.log(-jnp.log(noise + eps) + eps)
+    return jax.nn.softmax((logits + gumbel) / temperature, axis=-1)

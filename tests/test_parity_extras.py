@@ -1,0 +1,143 @@
+"""Tests for the parity-completing extras: jacobian clamping, torchkit
+layers, distributions, categorical heads, logprob variants, StepLR."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ardae_tpu.core.distributions import (
+    hyperspherical_uniform_entropy,
+    hyperspherical_uniform_logprob,
+    sample_hyperspherical_uniform,
+)
+from ardae_tpu.core.jacobian_clamping import (
+    cond_jac_clamping_loss,
+    jac_clamping_loss,
+    minrelu,
+)
+from ardae_tpu.nn.heads import (
+    CategoricalHead,
+    sample_gumbel_softmax,
+    sample_logistic_sigmoid,
+)
+from ardae_tpu.nn.torchkit_extras import CWNconv2d, CWNlinear, GatingLinear, WNBilinear
+from ardae_tpu.train.optim import step_lr
+
+KEY = jax.random.PRNGKey(0)
+
+
+def test_minrelu():
+    np.testing.assert_allclose(minrelu(jnp.array([-2.0, 0.0, 3.0])), [-2.0, 0.0, 0.0])
+
+
+def test_jac_clamping_zero_for_expanding_map():
+    """A map with Jacobian norm >= eta_min everywhere incurs zero penalty;
+    a collapsing map incurs a positive one."""
+    x = jax.random.normal(KEY, (16, 2))
+    z = x / 3.0
+    # f(z) = 3z: directional J^2 = 9 >= eta_min=1 -> no penalty
+    loss = jac_clamping_loss(lambda zz: 3.0 * zz, KEY, x, z,
+                             num_pert_samples=4, eta_min=1.0)
+    assert float(loss) == 0.0
+    # f(z) = 0.01 z: J^2 = 1e-4 < 1 -> positive penalty
+    loss2 = jac_clamping_loss(lambda zz: 0.01 * zz, KEY, 0.01 * z, z,
+                              num_pert_samples=4, eta_min=1.0)
+    assert float(loss2) > 0.5
+
+
+def test_cond_jac_clamping_runs():
+    bsz, nz, zdim = 4, 3, 2
+    ctx = jax.random.normal(KEY, (bsz, 5))
+    z = jax.random.normal(KEY, (bsz * nz, zdim))
+    x = 2.0 * z
+
+    def fwd(ctx, z_rows, num_z, num_pert):
+        return 2.0 * z_rows
+
+    loss = cond_jac_clamping_loss(fwd, KEY, x, ctx, z, nz, 2, eta_min=1.0)
+    assert float(loss) == 0.0
+
+
+def test_hyperspherical_uniform():
+    s = sample_hyperspherical_uniform(KEY, 3, 1000, dim=2)  # S^2 in R^3
+    np.testing.assert_allclose(np.linalg.norm(np.asarray(s), axis=-1), 1.0,
+                               atol=1e-5)
+    # entropy of S^2 = log(4*pi)
+    assert abs(hyperspherical_uniform_entropy(2) - np.log(4 * np.pi)) < 1e-6
+    lp = hyperspherical_uniform_logprob(s, 2)
+    np.testing.assert_allclose(lp, -np.log(4 * np.pi), atol=1e-6)
+
+
+def test_torchkit_extras_shapes():
+    x = jax.random.normal(KEY, (4, 6))
+    ctx = jax.random.normal(KEY, (4, 3))
+    m = CWNlinear(5)
+    p = m.init(KEY, x, ctx)
+    assert m.apply(p, x, ctx).shape == (4, 5)
+
+    m2 = WNBilinear(7)
+    p2 = m2.init(KEY, x, ctx)
+    assert m2.apply(p2, x, ctx).shape == (4, 7)
+
+    m3 = GatingLinear(5)
+    p3 = m3.init(KEY, x)
+    assert m3.apply(p3, x).shape == (4, 5)
+
+    img = jax.random.normal(KEY, (2, 8, 8, 3))
+    m4 = CWNconv2d(4, 3, 1, 1)
+    p4 = m4.init(KEY, img, ctx[:2])
+    assert m4.apply(p4, img, ctx[:2]).shape == (2, 8, 8, 4)
+
+
+def test_categorical_and_relaxed_samples():
+    h = jax.random.normal(KEY, (5, 10))
+    head = CategoricalHead(4)
+    p = head.init(KEY, h)
+    logits = head.apply(p, h)
+    assert logits.shape == (5, 4)
+    gs = sample_gumbel_softmax(KEY, logits, temperature=0.5)
+    np.testing.assert_allclose(np.asarray(gs.sum(-1)), 1.0, atol=1e-5)
+    ls = sample_logistic_sigmoid(KEY, logits)
+    assert ((np.asarray(ls) >= 0) & (np.asarray(ls) <= 1)).all()
+
+
+def test_step_lr():
+    sched = step_lr(0.1, step_size=10, gamma=0.5, min_lr=0.02)
+    assert float(sched(0)) == pytest.approx(0.1)
+    assert float(sched(10)) == pytest.approx(0.05)
+    assert float(sched(20)) == pytest.approx(0.025)
+    assert float(sched(30)) == pytest.approx(0.02)  # floored
+
+
+def test_logprob_variants_finite():
+    from ardae_tpu.models.ivae import api as ivae_api
+    from ardae_tpu.models.ivae.toy import ToyIPVAE
+
+    model = ToyIPVAE(input_dim=2, noise_dim=2, h_dim=16, z_dim=2,
+                     nonlinearity="tanh", num_hidden_layers=2, enc_type="concat")
+    x = jax.random.normal(KEY, (3, 2))
+    params = model.init(KEY, x, jnp.zeros((3, 2)))
+    for fn in (ivae_api.logprob_kde, ivae_api.logprob_diag):
+        lp = fn(model, params, KEY, x, sample_size=64)
+        assert jnp.isfinite(lp), fn.__name__
+    lp = ivae_api.logprob_prior(model, params, KEY, x, sample_size=256)
+    assert jnp.isfinite(lp)
+
+
+def test_logprob_kde_linear_gaussian_close_to_exact():
+    """KDE variant on the analytic linear-Gaussian model: within ~0.2 nats."""
+    from ardae_tpu.models.ivae import api as ivae_api
+    from tests.test_eval import _LinearGaussianIVAE
+
+    A = jnp.array([[0.5, 0.1], [-0.2, 0.3]])
+    B = jnp.array([[1.0, 0.4], [-0.3, 0.8]])
+    model = _LinearGaussianIVAE(A=A, B=B)
+    params = {"params": {}}
+    x = jnp.array([[0.7, -1.2], [1.5, 0.3]])
+    lp = float(ivae_api.logprob_kde(model, params, KEY, x, sample_size=1024))
+    from ardae_tpu.core.stats import mvn_logprob
+
+    cov = B @ B.T + jnp.eye(2)
+    exact = float(jnp.mean(mvn_logprob(x, jnp.zeros(2), jnp.linalg.cholesky(cov))))
+    assert abs(lp - exact) < 0.2, (lp, exact)
