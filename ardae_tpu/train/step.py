@@ -51,6 +51,11 @@ class StepConfig:
     train_nz_model: int = 1
     ctx_type: str = "data"  # data | lt0 | hidden1a
     noise_type: str = "gaussian"
+    # Fused Pallas DSM kernel (ops/fused_dsm) where supported. Measured on
+    # v5e: 1.4x faster than XLA in isolation (8.3 -> 6.0 ms at h=256, L=5,
+    # nz=625) but neutral inside the full jitted step (XLA overlaps its own
+    # ops better around the custom call), so off by default.
+    use_pallas: bool = False
     weight_avg: str = "none"  # none | polyak | swa
     weight_avg_start: int = 1000
     weight_avg_decay: float = 0.998
@@ -102,7 +107,18 @@ def cdae_update(model, cdae, opt_d, cfg: StepConfig, params_model, params_cdae,
         lsm[:, :, None, :], (bsz, cfg.train_nz_cdae, cfg.train_nstd_cdae, zdim)
     ).reshape(bsz, ns, zdim)
 
+    from ardae_tpu.ops.fused_dsm import fused_cdae_dsm_loss, supports_fused_dsm
+
+    use_fused = (
+        cfg.use_pallas
+        and cfg.noise_type == "gaussian"
+        and jax.default_backend() == "tpu"
+        and supports_fused_dsm(cdae, bsz * ns)
+    )
+
     def loss_fn(p):
+        if use_fused:
+            return fused_cdae_dsm_loss(cdae, p, k_noise, lsm_exp, ctx, stdmat)
         return cdae_loss(cdae, p, k_noise, lsm_exp, ctx, stdmat, cfg.noise_type)
 
     loss, grads = jax.value_and_grad(loss_fn)(params_cdae)

@@ -1,0 +1,72 @@
+"""Pallas fused DSM kernel vs the XLA reference path (interpret mode on CPU):
+loss values and ALL parameter gradients must match."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ardae_tpu.models.cdae import MLPResCARDAE, cdae_loss
+from ardae_tpu.ops.fused_dsm import fused_cdae_dsm_loss, supports_fused_dsm
+
+KEY = jax.random.PRNGKey(0)
+
+
+def _setup(h=32, L=3, bsz=4, ssz=64, zdim=8, ctx_dim=6, nonlin="softplus"):
+    module = MLPResCARDAE(input_dim=zdim, context_dim=ctx_dim, h_dim=h,
+                          num_hidden_layers=L, nonlinearity=nonlin)
+    params = module.init(KEY, jnp.zeros((4, zdim)), jnp.zeros((4, ctx_dim)),
+                         jnp.zeros((4, 1)))
+    latent = jax.random.normal(jax.random.PRNGKey(1), (bsz, ssz, zdim))
+    ctx = jax.random.normal(jax.random.PRNGKey(2), (bsz, ctx_dim))
+    std = 0.3 * jnp.abs(jax.random.normal(jax.random.PRNGKey(3), (bsz, ssz, 1)))
+    return module, params, latent, ctx, std
+
+
+@pytest.mark.parametrize("nonlin", ["softplus", "relu", "tanh"])
+def test_fused_matches_xla_loss_and_grads(nonlin):
+    module, params, latent, ctx, std = _setup(nonlin=nonlin)
+    n = latent.shape[0] * latent.shape[1]
+    assert supports_fused_dsm(module, n, tile=64)
+    key = jax.random.PRNGKey(7)
+
+    def loss_xla(p):
+        return cdae_loss(module, p, key, latent, ctx, std)
+
+    def loss_fused(p):
+        return fused_cdae_dsm_loss(module, p, key, latent, ctx, std,
+                                   tile=64, interpret=True)
+
+    l1, g1 = jax.value_and_grad(loss_xla)(params)
+    l2, g2 = jax.value_and_grad(loss_fused)(params)
+    # identical RNG key -> identical noise -> identical loss
+    np.testing.assert_allclose(float(l1), float(l2), rtol=1e-5)
+    flat1 = jax.tree_util.tree_leaves_with_path(g1)
+    flat2 = {jax.tree_util.keystr(kp): v
+             for kp, v in jax.tree_util.tree_leaves_with_path(g2)}
+    for kp, v1 in flat1:
+        k = jax.tree_util.keystr(kp)
+        v2 = flat2[k]
+        np.testing.assert_allclose(np.asarray(v1), np.asarray(v2),
+                                   rtol=2e-4, atol=1e-6, err_msg=k)
+
+
+def test_fused_larger_config():
+    """Shapes from the sbmnist headline config, scaled down tile-wise."""
+    module, params, latent, ctx, std = _setup(h=128, L=5, bsz=8, ssz=128,
+                                              zdim=32, ctx_dim=32)
+    key = jax.random.PRNGKey(11)
+    l1 = float(cdae_loss(module, params, key, latent, ctx, std))
+    l2 = float(fused_cdae_dsm_loss(module, params, key, latent, ctx, std,
+                                   tile=256, interpret=True))
+    np.testing.assert_allclose(l1, l2, rtol=1e-5)
+
+
+def test_supports_predicate():
+    from ardae_tpu.models.cdae import MLPGradCARDAE
+
+    grad_mod = MLPGradCARDAE(input_dim=4, context_dim=4)
+    assert not supports_fused_dsm(grad_mod, 512)
+    res_mod = MLPResCARDAE(input_dim=4, context_dim=4)
+    assert supports_fused_dsm(res_mod, 512)
+    assert not supports_fused_dsm(res_mod, 500)  # not tile-divisible
