@@ -1,0 +1,71 @@
+"""Native C++ amat/idx parser: correctness vs numpy + speed sanity."""
+
+import os
+import struct
+import time
+
+import numpy as np
+import pytest
+
+from ardae_tpu.data.native import _load, load_amat, load_idx_images
+
+
+def test_native_lib_compiles():
+    assert _load() is not None, "g++ lazy compile failed"
+
+
+def test_amat_matches_loadtxt(tmp_path):
+    rng = np.random.default_rng(0)
+    mat = rng.integers(0, 2, size=(50, 12)).astype(np.float32)
+    # also exercise non-binary floats and odd whitespace
+    mat[0, 0] = 0.25
+    p = tmp_path / "toy.amat"
+    with open(p, "w") as f:
+        for row in mat:
+            f.write("  ".join(f"{v:g}" for v in row) + " \n")
+    out = load_amat(str(p), n_cols=12)
+    np.testing.assert_allclose(out, mat, rtol=1e-6)
+
+
+def test_amat_large_buffer_boundary(tmp_path):
+    """Values spanning the 1MB read-block boundary must parse correctly."""
+    n = 300_000  # ~1.1 MB of "0.5 " tokens
+    vals = np.round(np.random.default_rng(1).random(n).astype(np.float32), 3)
+    p = tmp_path / "big.amat"
+    with open(p, "w") as f:
+        f.write(" ".join(f"{v:g}" for v in vals))
+    out = load_amat(str(p), n_cols=n)
+    np.testing.assert_allclose(out.reshape(-1), vals, rtol=1e-5)
+
+
+def test_idx_parser_roundtrip(tmp_path):
+    rng = np.random.default_rng(2)
+    imgs = rng.integers(0, 256, size=(7, 28, 28)).astype(np.uint8)
+    p = tmp_path / "imgs-idx3-ubyte"
+    with open(p, "wb") as f:
+        f.write(struct.pack(">IIII", 2051, 7, 28, 28))
+        f.write(imgs.tobytes())
+    out = load_idx_images(str(p))
+    assert out is not None and out.shape == (7, 784)
+    np.testing.assert_allclose(out, imgs.reshape(7, 784) / 255.0, atol=1e-7)
+
+
+def test_amat_speed_vs_loadtxt(tmp_path):
+    """The native parser must beat np.loadtxt clearly (it's the reason the
+    component exists — reference datasets/sbmnist.py:55-58 loadtxt calls)."""
+    rng = np.random.default_rng(3)
+    mat = rng.integers(0, 2, size=(2000, 784)).astype(np.float32)
+    p = tmp_path / "speed.amat"
+    with open(p, "w") as f:
+        for row in mat:
+            f.write(" ".join(str(int(v)) for v in row) + "\n")
+    t0 = time.perf_counter()
+    out = load_amat(str(p))
+    t_native = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    ref = np.loadtxt(str(p)).astype(np.float32)
+    t_numpy = time.perf_counter() - t0
+    np.testing.assert_array_equal(out, ref.reshape(-1, 784))
+    # modern numpy's loadtxt is already C-accelerated; require a clear win,
+    # not a fixed multiple (observed ~2x)
+    assert t_native < t_numpy, (t_native, t_numpy)
