@@ -18,16 +18,24 @@ from ardae_tpu.io.logging import get_time, logging
 
 
 def resolve_experiment_path(cache, experiment, resume):
-    """Timestamped experiment dir; resume picks the latest matching one
-    (reference ivae_ardae.py:263-274)."""
+    """Timestamped experiment dir; resume picks the latest matching one.
+
+    The reference globs '-19*' and '-20*' (ivae_ardae.py:265), i.e. two-digit
+    years 19xx/20xx — which stops matching from year 2021's '21...' stamps
+    onward (and certainly 2026). Documented reference bug, not replicated:
+    we match any '-YYMMDD-HH:MM:SS' suffix.
+    """
     base = os.path.join(cache, experiment)
     if resume:
-        listing = glob.glob(base + "-19*") + glob.glob(base + "-20*")
+        listing = []
+        for p in glob.glob(base + "-[0-9][0-9]*"):
+            try:
+                stamp = datetime.datetime.strptime(p, base + "-%y%m%d-%H:%M:%S")
+                listing.append((stamp, p))
+            except ValueError:
+                continue
         if listing:
-            def _key(p):
-                return datetime.datetime.strptime(p, base + "-%y%m%d-%H:%M:%S")
-
-            path = sorted(listing, key=_key)[-1]
+            path = max(listing)[1]
         else:
             path = f"{base}-{get_time()}"
     else:

@@ -1,0 +1,112 @@
+"""Driver-level integration tests (CPU): flag surface, experiment naming,
+train -> checkpoint -> resume continuation for both CLIs."""
+
+import glob
+import os
+import re
+
+import pytest
+
+from ardae_tpu.cli.ivae_ardae import build_parser as ivae_parser
+from ardae_tpu.cli.ivae_ardae import derive_experiment as ivae_expname
+from ardae_tpu.cli.ivae_ardae import main as ivae_main
+from ardae_tpu.cli.vae import build_parser as vae_parser
+from ardae_tpu.cli.vae import derive_experiment as vae_expname
+from ardae_tpu.cli.vae import main as vae_main
+
+CANONICAL_25G = (
+    "--dataset 25gaussians --nheight 1 --nchannels 2 "
+    "--model mlp-concat --model-z-dim 2 --model-h-dim 16 --model-n-layers 2 "
+    "--model-nonlin relu --model-n-dim 4 "
+    "--cdae mlp-grad --cdae-h-dim 16 --cdae-n-layers 2 --cdae-nonlin softplus "
+    "--cdae-ctx-type lt0 --train-batch-size 64 --eval-batch-size 1 "
+    "--train-nz-cdae 8 --train-nz-model 1 --delta 0.1 --std-scale 100 "
+    "--num-cdae-updates 1 --m-lr 0.0001 --m-optimizer adam --m-beta1 0.5 "
+    "--d-lr 0.0001 --d-optimizer rmsprop --d-momentum 0.5 --epochs 4 "
+    "--eval-iws-interval 0 --iws-samples 8 --log-interval 10 "
+    "--vis-interval 100000 --ckpt-interval 20 --toy-train-size 2000 "
+).split()
+
+
+def test_reference_flag_surface_parses():
+    """Every flag from the reference parsers must be accepted."""
+    opt = ivae_parser().parse_args(
+        "--dataset sbmnist --model auxresconvct-clip --model-clip-z0-logvar none "
+        "--cdae mlp-res --std-scale 100 --delta 0.1 --num-cdae-updates 2 "
+        "--train-nstd-cdae 3 --m-weight-avg polyak --m-weight-avg-start 10 "
+        "--train-mode final --no-resume --exp-num 3 --d-lr-min 0.0001 "
+        "--beta-init 0.0001 --beta-fin 1.0 --beta-annealing 50000 "
+        "--eta-init 0 --eta-fin 0 --lmbd-init 0 --lmbd-fin 0 "
+        "--start-epoch 2 --start-batch-idx 5 --sav-interval 0 --no-cuda".split()
+    )
+    assert opt.model == "auxresconvct-clip" and opt.train_mode == "final"
+    opt2 = vae_parser().parse_args(
+        "--dataset dbmnist-val5k --model resconv --model-clip-logvar none "
+        "--optimizer amsgrad --beta1 0.9 --momentum 0.9 --weight-avg swa "
+        "--weight-avg-start 5 --weight-avg-decay 0.99 --train-mode train".split()
+    )
+    assert opt2.model == "resconv"
+
+
+def test_experiment_name_format():
+    opt = ivae_parser().parse_args(CANONICAL_25G)
+    for name in ("beta_annealing", "eta_annealing", "lmbd_annealing"):
+        if getattr(opt, name) is not None and getattr(opt, name) < 1:
+            setattr(opt, name, None)
+    name = ivae_expname(opt)
+    # reference format: m{model}-mz..-mh..-... (ivae_ardae.py:212-262)
+    assert name.startswith("mmlp-concat-mz2-mh16-mn4-mnh2-marelu-")
+    assert "-dmlp-grad-dh16-dnh2-dasfp-dctlt0-" in name
+    assert "-ssc100.0-del0.1-nzc8-nzm1-0" in name
+
+    vopt = vae_parser().parse_args(["--dataset", "dbmnist", "--model", "mnist"])
+    vname = vae_expname(vopt)
+    assert vname.startswith("vae-dbmnist-mmnist-")
+
+
+@pytest.mark.slow
+def test_ivae_cli_train_and_resume(tmp_path):
+    """Short train run, then re-invoke the same command: it must resume into
+    the same experiment dir from the checkpoint (reference resume semantics,
+    ivae_ardae.py:263-274 + utils/msc.py:74-96)."""
+    args = CANONICAL_25G + ["--cache", str(tmp_path), "--exp-num", "7",
+                            "--data-root", str(tmp_path / "data"),
+                            "--max-iters", "40"]
+    assert ivae_main(args) == 0
+    dirs = glob.glob(str(tmp_path / "*" ))
+    dirs = [d for d in dirs if os.path.isdir(d) and "data" not in os.path.basename(d)]
+    assert len(dirs) == 1
+    log1 = open(os.path.join(dirs[0], "log.txt")).read()
+    assert "| iter 40 " in log1
+    assert os.path.exists(os.path.join(dirs[0], "checkpoint"))
+
+    # resume: same command, higher cap -> continues from iter 40
+    args2 = [a for a in args]
+    args2[args2.index("40")] = "60"
+    assert ivae_main(args2) == 0
+    dirs2 = [d for d in glob.glob(str(tmp_path / "*"))
+             if os.path.isdir(d) and "data" not in os.path.basename(d)]
+    assert len(dirs2) == 1 and dirs2[0] == dirs[0]  # SAME experiment dir
+    log2 = open(os.path.join(dirs[0], "log.txt")).read()
+    post = log2[len(log1):]
+    assert "loaded checkpoint" not in post  # load prints to stdout, not log
+    iters = [int(m) for m in re.findall(r"\| iter (\d+) ", post)]
+    assert iters and min(iters) > 40 and max(iters) == 60
+
+
+@pytest.mark.slow
+def test_vae_cli_short_run(tmp_path):
+    args = (
+        "--dataset 25gaussians --nheight 1 --nchannels 2 --model toy "
+        "--model-z-dim 2 --model-h-dim 16 --model-n-layers 2 "
+        "--model-nonlin softplus --train-batch-size 64 --optimizer adam "
+        "--beta1 0.5 --lr 0.001 --epochs 2 --eval-iws-interval 20 "
+        "--iws-samples 8 --log-interval 10 --vis-interval 100000 "
+        "--ckpt-interval 20 --toy-train-size 2000 --max-iters 30"
+    ).split() + ["--cache", str(tmp_path), "--data-root", str(tmp_path / "d")]
+    assert vae_main(args) == 0
+    dirs = [d for d in glob.glob(str(tmp_path / "vae-*")) if os.path.isdir(d)]
+    assert len(dirs) == 1
+    log = open(os.path.join(dirs[0], "log.txt")).read()
+    assert "elbo" in log and "| iter 30 " in log
+    assert os.path.exists(os.path.join(dirs[0], "best-checkpoint"))
