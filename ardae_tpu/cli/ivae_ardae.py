@@ -107,6 +107,9 @@ def build_parser():
                    help="toy dataset train split size (reference: 2M)")
     p.add_argument("--max-iters", type=int, default=None,
                    help="hard iteration cap (smoke tests)")
+    p.add_argument("--cdae-compute-dtype", default="float32",
+                   choices=["float32", "bfloat16"],
+                   help="mixed-precision PHASE-A DSM loss (1.7x on v5e)")
     return p
 
 

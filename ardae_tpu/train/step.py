@@ -56,6 +56,11 @@ class StepConfig:
     # nz=625) but neutral inside the full jitted step (XLA overlaps its own
     # ops better around the custom call), so off by default.
     use_pallas: bool = False
+    # Mixed precision for the PHASE-A DSM loss: bf16 matmuls with fp32 master
+    # params/grads/optimizer (standard MXU recipe). Measured 1.72x on the
+    # grad-style canonical config (20.0 -> 11.6 ms); fp32 default for exact
+    # reference parity.
+    cdae_compute_dtype: str = "float32"
     weight_avg: str = "none"  # none | polyak | swa
     weight_avg_start: int = 1000
     weight_avg_decay: float = 0.998
@@ -119,6 +124,14 @@ def cdae_update(model, cdae, opt_d, cfg: StepConfig, params_model, params_cdae,
     def loss_fn(p):
         if use_fused:
             return fused_cdae_dsm_loss(cdae, p, k_noise, lsm_exp, ctx, stdmat)
+        if cfg.cdae_compute_dtype == "bfloat16":
+            # bf16 compute, fp32 master params: the cast is differentiable,
+            # so gradients come back fp32 through its transpose.
+            bf = jnp.bfloat16
+            pb = jax.tree.map(lambda a: a.astype(bf), p)
+            return cdae_loss(cdae, pb, k_noise, lsm_exp.astype(bf),
+                             ctx.astype(bf), stdmat.astype(bf),
+                             cfg.noise_type).astype(jnp.float32)
         return cdae_loss(cdae, p, k_noise, lsm_exp, ctx, stdmat, cfg.noise_type)
 
     loss, grads = jax.value_and_grad(loss_fn)(params_cdae)
