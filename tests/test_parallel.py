@@ -53,6 +53,35 @@ def test_sharded_step_runs_on_8_device_mesh(setup):
     assert leaf.sharding.is_fully_replicated
 
 
+def test_sample_axis_sharding(setup):
+    """The nz sample axis is this workload's long-context analogue
+    (SURVEY.md 5): shard the (bsz, nz, zdim) latents over a 2-D
+    (data, sample) mesh and verify the DSM loss matches unsharded."""
+    from ardae_tpu.models.cdae import MLPGradCARDAE, cdae_loss
+    from ardae_tpu.parallel.mesh import sample_parallel_mesh
+
+    cdae = MLPGradCARDAE(input_dim=2, context_dim=2, h_dim=16,
+                         num_hidden_layers=2, nonlinearity="relu")
+    params = cdae.init(KEY, jnp.zeros((4, 2)), jnp.zeros((4, 2)),
+                       jnp.zeros((4, 1)))
+    latent = jax.random.normal(KEY, (8, 16, 2))
+    ctx = jax.random.normal(KEY, (8, 2))
+    std = 0.2 * jnp.abs(jax.random.normal(KEY, (8, 16, 1)))
+
+    loss_ref = jax.jit(lambda p: cdae_loss(cdae, p, KEY, latent, ctx, std))(params)
+
+    mesh = sample_parallel_mesh(2, 4)
+    lat_s = jax.device_put(latent, NamedSharding(mesh, P("data", "sample")))
+    std_s = jax.device_put(std, NamedSharding(mesh, P("data", "sample")))
+    ctx_s = jax.device_put(ctx, NamedSharding(mesh, P("data")))
+    params_s = jax.device_put(params, NamedSharding(mesh, P()))
+    with mesh:
+        loss_sh = jax.jit(
+            lambda p, l, c, s: cdae_loss(cdae, p, KEY, l, c, s)
+        )(params_s, lat_s, ctx_s, std_s)
+    np.testing.assert_allclose(float(loss_ref), float(loss_sh), rtol=1e-5)
+
+
 def test_sharded_matches_single_device(setup):
     """Same inputs, same seed: the 8-way sharded step must produce the same
     updated params as the unsharded step (XLA psum == serial sum), up to
