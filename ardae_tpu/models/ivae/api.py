@@ -37,8 +37,10 @@ def make_eps(module, key, bsz, nz, noise_std=None):
 
 
 def sample_latents(module, params, key, x, nz, noise_std=None):
-    """forward_hidden: z ~ q(z|x), (bsz, nz, z_dim)."""
+    """forward_hidden: z ~ q(z|x), (bsz, nz, z_dim). The noise inputs follow
+    x's dtype so bf16 sampling passes stay bf16 end to end."""
     eps = make_eps(module, key, x.shape[0], nz, noise_std)
+    eps = jax.tree.map(lambda e: e.astype(x.dtype), eps)
     if module.family == "aux":
         return module.apply(params, x, eps, noise_std, method=module.sample_z)
     return module.apply(params, x, eps, method=module.sample_z)

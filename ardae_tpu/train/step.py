@@ -83,11 +83,23 @@ def compute_context(model, params_model, x, ctx_type: str):
 
 
 def _sigma_stats(model, params_model, key, x, cfg: StepConfig):
-    """Per-item adaptive noise level (reference ivae_ardae.py:748-758)."""
-    latent_mean = ivae_api.encode_det(model, params_model, x)  # (B,1,z)
-    latent = ivae_api.sample_latents(model, params_model, key, x, cfg.train_nz_cdae)
-    latent = stop_grad(latent)
-    latent_mean = stop_grad(latent_mean)
+    """Per-item adaptive noise level (reference ivae_ardae.py:748-758).
+
+    Under bf16 phase-A compute the (detached) nz_cdae-wide sampling pass runs
+    in bf16 too; the sigma statistics themselves reduce in fp32.
+    """
+    if cfg.cdae_compute_dtype == "bfloat16":
+        bf = jnp.bfloat16
+        params_c = jax.tree.map(
+            lambda a: a.astype(bf) if a.dtype == jnp.float32 else a, params_model
+        )
+        x_c = x.astype(bf)
+    else:
+        params_c, x_c = params_model, x
+    latent_mean = ivae_api.encode_det(model, params_c, x_c)  # (B,1,z)
+    latent = ivae_api.sample_latents(model, params_c, key, x_c, cfg.train_nz_cdae)
+    latent = stop_grad(latent).astype(jnp.float32)
+    latent_mean = stop_grad(latent_mean).astype(jnp.float32)
     lsm = cfg.std_scale * (latent - latent_mean)  # (B,nz,z)
     std_qz = jnp.std(lsm, axis=1, keepdims=True, ddof=1)  # (B,1,z), unbiased
     sigma = cfg.delta * jnp.mean(std_qz, axis=2, keepdims=True)  # (B,1,1)
