@@ -95,6 +95,29 @@ def test_ivae_cli_train_and_resume(tmp_path):
 
 
 @pytest.mark.slow
+def test_ivae_cli_final_mode(tmp_path):
+    """train mode -> best checkpoint -> final mode retrains on train+val up
+    to the best iteration and writes final-checkpoint (reference
+    ivae_ardae.py:283-287, 1141-1167)."""
+    # argparse: a later --eval-iws-interval overrides CANONICAL_25G's 0
+    args = CANONICAL_25G + ["--cache", str(tmp_path), "--exp-num", "9",
+                            "--data-root", str(tmp_path / "data"),
+                            "--max-iters", "40"]
+    assert ivae_main(args + ["--eval-iws-interval", "20"]) == 0
+    exp = [d for d in glob.glob(str(tmp_path / "*"))
+           if os.path.isdir(d) and "data" not in os.path.basename(d)][0]
+    assert os.path.exists(os.path.join(exp, "best-checkpoint"))
+
+    assert ivae_main(args + ["--train-mode", "final",
+                             "--eval-iws-interval", "20"]) == 0
+    assert os.path.exists(os.path.join(exp, "final-checkpoint"))
+    log = open(os.path.join(exp, "log.txt")).read()
+    assert "End of training (final)" in log
+    # final test eval printed for mnist datasets only; toy writes heatmaps
+    assert log.count("Namespace") == 2  # both invocations logged
+
+
+@pytest.mark.slow
 def test_vae_cli_short_run(tmp_path):
     args = (
         "--dataset 25gaussians --nheight 1 --nchannels 2 --model toy "
