@@ -110,6 +110,9 @@ def build_parser():
     p.add_argument("--cdae-compute-dtype", default="float32",
                    choices=["float32", "bfloat16"],
                    help="mixed-precision PHASE-A DSM loss (1.7x on v5e)")
+    p.add_argument("--profile-dir", default=None,
+                   help="capture a jax.profiler trace of one post-warmup "
+                        "chunk into this directory (tensorboard-viewable)")
     return p
 
 
@@ -392,9 +395,19 @@ def main(argv=None):
             c_idx = stream.take(k * opt.num_cdae_updates).reshape(
                 k, opt.num_cdae_updates, bs)
             m_idx = stream.take(k)
+            profiling = (opt.profile_dir is not None
+                         and i_ep > 0 and not getattr(opt, "_profiled", False))
+            if profiling:
+                jax.profiler.start_trace(opt.profile_dir)
             state, metrics = chunk_fn(state, data_dev, jnp.asarray(c_idx),
                                       jnp.asarray(m_idx), k_train, 1.0,
                                       binarize=binarize)
+            if profiling:
+                jax.device_get(metrics["model_loss"])
+                jax.profiler.stop_trace()
+                opt._profiled = True
+                logging(f"profiler trace written to {opt.profile_dir}",
+                        path=opt.path)
             i_ep += k
             epoch = (i_ep - 1) // steps_per_epoch + 1
             batch_idx = (i_ep - 1) % steps_per_epoch + 1

@@ -152,3 +152,16 @@ def test_sample_laplace_moments():
     s = sample_laplace(key, (200_000,))
     assert abs(float(jnp.mean(s))) < 0.02
     assert abs(float(jnp.var(s)) - 2.0) < 0.1  # Var of unit Laplace = 2b^2 = 2
+
+
+def test_aux_loss_for_grad_contract():
+    """d/dx aux_loss_for_grad(x, g) == g exactly; no gradient to g
+    (reference models/aux.py:42-58 smoke test equivalent)."""
+    from ardae_tpu.core.aux_grad import aux_loss_for_grad
+
+    x = jnp.array([[1.0, -2.0], [0.5, 3.0]])
+    g = jnp.array([[0.1, 0.2], [-0.3, 0.4]])
+    dx = jax.grad(lambda xx: aux_loss_for_grad(xx, g))(x)
+    np.testing.assert_allclose(dx, g)
+    dg = jax.grad(lambda gg: aux_loss_for_grad(x, gg))(g)
+    np.testing.assert_allclose(dg, np.zeros_like(g))
