@@ -10,8 +10,6 @@ best-model-checkpoint / final-model-checkpoint, as directories.
 """
 
 import os
-from typing import Any, Optional
-
 import jax
 import numpy as np
 import orbax.checkpoint as ocp

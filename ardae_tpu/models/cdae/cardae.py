@@ -25,8 +25,6 @@ Unconditional variants (DAE / ARDAE, used by the notebook workloads) share
 the same module with ``conditional=False``.
 """
 
-from typing import Optional
-
 import flax.linen as nn
 import jax
 import jax.numpy as jnp

@@ -25,7 +25,7 @@ every MNIST variant uses (bsz*nz, 1, zdim) -> (bsz, nz, zdim); we use the
 sane MNIST law everywhere (identical when nz==1, the drivers' default).
 """
 
-from typing import Optional, Tuple
+from typing import Optional
 
 import flax.linen as nn
 import jax.numpy as jnp

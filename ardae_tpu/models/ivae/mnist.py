@@ -9,7 +9,6 @@ layer kernel is N(0,1) under init='gaussian'.
 import flax.linen as nn
 import jax.numpy as jnp
 
-from ardae_tpu.nn.heads import BernoulliHead
 from ardae_tpu.nn.initializers import xavier_uniform_init, zeros_init
 from ardae_tpu.nn.linear import Linear
 from ardae_tpu.nn.mlp import MLP

@@ -10,8 +10,6 @@ Noise is always an explicit input (never drawn inside the module), so the
 module is deterministic and jit/vmap/grad compose trivially.
 """
 
-from typing import Optional
-
 import flax.linen as nn
 import jax.numpy as jnp
 

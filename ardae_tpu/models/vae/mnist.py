@@ -8,11 +8,7 @@ import flax.linen as nn
 import jax.numpy as jnp
 
 from ardae_tpu.nn.heads import NormalHead
-from ardae_tpu.nn.initializers import (
-    torch_bias_init,
-    xavier_uniform_init,
-    zeros_init,
-)
+from ardae_tpu.nn.initializers import xavier_uniform_init, zeros_init
 from ardae_tpu.nn.linear import Linear
 from ardae_tpu.nn.mlp import MLP
 from ardae_tpu.models.ivae.mnist import _XavierMLP

@@ -8,15 +8,11 @@ ResConv2d x2] with a crop to 7 after the first stage -> logits at 28x28
 as interpolation matmuls (nn/conv.py).
 """
 
-from typing import Callable
-
 import flax.linen as nn
-import jax.numpy as jnp
 
 from ardae_tpu.nn.activations import get_nonlinear_func
 from ardae_tpu.nn.conv import ResConv2d, ResLinear2, upsample_bilinear_align_corners
 from ardae_tpu.nn.heads import NormalHead
-from ardae_tpu.nn.initializers import normal_init
 
 
 class ResConvTrunk(nn.Module):

@@ -16,7 +16,7 @@ All spatial ops take/return (N, H, W, C).
 """
 
 import math
-from typing import Callable, Optional, Tuple
+from typing import Callable
 
 import flax.linen as nn
 import jax

@@ -10,8 +10,6 @@ pattern of drawing the *final layer kernel(s)* from N(0,1) while leaving
 biases at the torch default (e.g. models/ivae/toy.py:146-147).
 """
 
-from typing import Optional
-
 import flax.linen as nn
 import jax.numpy as jnp
 

@@ -29,12 +29,8 @@ always fall back to XLA — see supports_fused_dsm.
 """
 
 import functools
-import math
-from typing import Sequence
-
 import jax
 import jax.numpy as jnp
-import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 

@@ -27,8 +27,6 @@ into a single program: no host sync anywhere in the hot loop.
 
 import dataclasses
 from functools import partial
-from typing import Any, Optional
-
 import jax
 import jax.numpy as jnp
 

@@ -8,7 +8,6 @@ one), beta annealing, optional weight averaging.
 import dataclasses
 
 import jax
-import jax.numpy as jnp
 
 from ardae_tpu.models.vae.api import vae_loss
 from ardae_tpu.train.state import TrainState
