@@ -290,6 +290,7 @@ def main(argv=None):
         train_nz_model=opt.train_nz_model, ctx_type=opt.cdae_ctx_type,
         weight_avg=opt.m_weight_avg, weight_avg_start=opt.m_weight_avg_start,
         weight_avg_decay=opt.m_weight_avg_decay,
+        cdae_compute_dtype=opt.cdae_compute_dtype,
     )
 
     def beta_fn(step):
