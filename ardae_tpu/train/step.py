@@ -116,11 +116,15 @@ def cdae_update(model, cdae, opt_d, cfg: StepConfig, params_model, params_cdae,
     ns = cfg.train_nz_cdae * cfg.train_nstd_cdae
     stdmat = sigma * jax.random.normal(k_std, (bsz, ns, 1))  # sigma~N(0, sigma_i^2)
 
-    # expand the nz samples across nstd (reference :764-767)
+    # expand the nz samples across nstd (reference :764-767); identity when
+    # nstd == 1 (avoids a materializing broadcast+reshape copy)
     zdim = lsm.shape[-1]
-    lsm_exp = jnp.broadcast_to(
-        lsm[:, :, None, :], (bsz, cfg.train_nz_cdae, cfg.train_nstd_cdae, zdim)
-    ).reshape(bsz, ns, zdim)
+    if cfg.train_nstd_cdae == 1:
+        lsm_exp = lsm
+    else:
+        lsm_exp = jnp.broadcast_to(
+            lsm[:, :, None, :], (bsz, cfg.train_nz_cdae, cfg.train_nstd_cdae, zdim)
+        ).reshape(bsz, ns, zdim)
 
     from ardae_tpu.ops.fused_dsm import fused_cdae_dsm_loss, supports_fused_dsm
 

@@ -133,3 +133,9 @@ def test_vae_cli_short_run(tmp_path):
     log = open(os.path.join(dirs[0], "log.txt")).read()
     assert "elbo" in log and "| iter 30 " in log
     assert os.path.exists(os.path.join(dirs[0], "best-checkpoint"))
+
+    # final mode: retrains on train+val to the best iteration
+    assert vae_main(args + ["--train-mode", "final"]) == 0
+    assert os.path.exists(os.path.join(dirs[0], "final-checkpoint"))
+    log2 = open(os.path.join(dirs[0], "log.txt")).read()
+    assert "End of training (final)" in log2

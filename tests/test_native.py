@@ -59,13 +59,17 @@ def test_amat_speed_vs_loadtxt(tmp_path):
     with open(p, "w") as f:
         for row in mat:
             f.write(" ".join(str(int(v)) for v in row) + "\n")
-    t0 = time.perf_counter()
-    out = load_amat(str(p))
-    t_native = time.perf_counter() - t0
-    t0 = time.perf_counter()
-    ref = np.loadtxt(str(p)).astype(np.float32)
-    t_numpy = time.perf_counter() - t0
+    def best_of(f, n=3):
+        ts = []
+        for _ in range(n):
+            t0 = time.perf_counter()
+            r = f()
+            ts.append(time.perf_counter() - t0)
+        return r, min(ts)
+
+    out, t_native = best_of(lambda: load_amat(str(p)))
+    ref, t_numpy = best_of(lambda: np.loadtxt(str(p)).astype(np.float32))
     np.testing.assert_array_equal(out, ref.reshape(-1, 784))
     # modern numpy's loadtxt is already C-accelerated; require a clear win,
-    # not a fixed multiple (observed ~2x)
+    # not a fixed multiple (observed ~2x). min-of-3 to ride out machine load.
     assert t_native < t_numpy, (t_native, t_numpy)
