@@ -118,6 +118,25 @@ def test_ivae_cli_final_mode(tmp_path):
 
 
 @pytest.mark.slow
+def test_ivae_cli_polyak_and_nstd(tmp_path):
+    """Weight averaging + nstd>1 through the CLI surface."""
+    args = CANONICAL_25G + ["--cache", str(tmp_path), "--exp-num", "11",
+                            "--data-root", str(tmp_path / "data"),
+                            "--max-iters", "30",
+                            "--m-weight-avg", "polyak",
+                            "--m-weight-avg-start", "5",
+                            "--train-nstd-cdae", "2",
+                            "--eval-iws-interval", "20"]
+    assert ivae_main(args) == 0
+    exp = [d for d in glob.glob(str(tmp_path / "*"))
+           if os.path.isdir(d) and "data" not in os.path.basename(d)][0]
+    log = open(os.path.join(exp, "log.txt")).read()
+    assert "nzc8-nzs2" in log  # nstd encoded in the experiment name
+    assert "mwapolyak-was5" in log
+    assert "logprob (iws)" in log  # eval used the averaged params
+
+
+@pytest.mark.slow
 def test_vae_cli_short_run(tmp_path):
     args = (
         "--dataset 25gaussians --nheight 1 --nchannels 2 --model toy "
