@@ -6,8 +6,9 @@ driver (/root/reference/ivae_ardae.py:32-196), TPU-native internals:
     as ONE jitted lax.scan chunk between logging boundaries — host work per
     dispatch is building int32 batch-index arrays;
   * IWS evaluation is the vmapped covariance-Gaussian bound (models/ivae/api);
-  * checkpoints are single orbax TrainState pytrees incl. the RNG key, so
-    resume restores the exact noise sequence (the reference cannot);
+  * checkpoints are single orbax TrainState pytrees; the per-step noise is
+    fold_in(seed, step) with step in the state, so resume continues the
+    exact device-side noise sequence (the reference cannot);
   * experiment naming / resume-dir / final-mode semantics match the
     reference (ivae_ardae.py:209-292) so experiment trees look identical.
 

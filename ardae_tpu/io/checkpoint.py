@@ -1,9 +1,12 @@
 """Checkpoint save/restore (reference utils/msc.py:67-110 semantics).
 
 One orbax checkpoint holds the full TrainState pytree plus host metadata
-(epoch, batch_idx, best_val_loss, iters/epoch, base RNG key) so mid-epoch
-resume AND the noise sequence are exactly restorable — the reference saves
-per-component torch dicts and cannot restore the RNG (SURVEY.md 5).
+(epoch, batch_idx, best_val_loss, iters/epoch). The per-step noise sequence
+is derived as fold_in(PRNGKey(--seed), step), and step lives in the saved
+TrainState — so resume continues the exact same device-side noise sequence
+(the reference's global torch RNG state is unrecoverable; SURVEY.md 5). The
+host-side data-shuffle position restarts on resume, matching the reference's
+DataLoader-iterator behavior.
 
 Filenames mirror the reference: {prefix}model-checkpoint /
 best-model-checkpoint / final-model-checkpoint, as directories.
