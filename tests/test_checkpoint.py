@@ -57,3 +57,52 @@ def test_load_end_iter(tmp_path):
     save_checkpoint(state, meta, str(tmp_path), "best-checkpoint")
     # reference formula: (epoch-1)*iters + batch_idx - 1 (utils/msc.py:98-110)
     assert load_end_iter(str(tmp_path), "best-checkpoint") == (3 - 1) * 14 + 13 - 1
+
+
+def test_resume_is_bit_deterministic():
+    """checkpoint -> restore -> continue == uninterrupted run, given the same
+    data indices: the per-step noise is fold_in(seed, step) and step lives in
+    the state, so the device-side trajectory is exactly reproducible."""
+    import tempfile
+
+    from ardae_tpu.models.ivae.toy import ToyIPVAE
+    from ardae_tpu.train.step import StepConfig, build_train_step
+    from ardae_tpu.train.optim import build_optimizer
+
+    model = ToyIPVAE(input_dim=2, noise_dim=2, h_dim=8, z_dim=2,
+                     num_hidden_layers=1, enc_type="concat")
+    cdae_mod = MLPGradCARDAE(input_dim=2, context_dim=2, h_dim=8,
+                             num_hidden_layers=1)
+    pm = model.init(KEY, jnp.zeros((8, 2)), jnp.zeros((8, 2)))
+    pc = cdae_mod.init(KEY, jnp.zeros((2, 2)), jnp.zeros((2, 2)),
+                       jnp.zeros((2, 1)))
+    opt_m = build_optimizer("adam", 1e-3)
+    opt_d = build_optimizer("rmsprop", 1e-3, momentum=0.5)
+    cfg = StepConfig(std_scale=10.0, delta=0.1, train_nz_cdae=4,
+                     ctx_type="data")
+    step = build_train_step(model, cdae_mod, opt_m, opt_d, cfg)
+    key = jax.random.PRNGKey(42)
+    batches = jax.random.normal(KEY, (8, 8, 2))
+
+    def run(state, lo, hi):
+        for i in range(lo, hi):
+            state, _ = step(state, batches[i][None], batches[i], key, 1.0)
+        return state
+
+    s_full = run(create_train_state(pm, opt_m, pc, opt_d), 0, 8)
+
+    with tempfile.TemporaryDirectory() as d:
+        s_half = run(create_train_state(pm, opt_m, pc, opt_d), 0, 4)
+        save_checkpoint(s_half, {"i_ep": 4, "epoch": 1, "batch_idx": 4,
+                                 "train_num_iters_per_epoch": 8,
+                                 "best_val_loss": 0.0}, d, "checkpoint")
+        s_restored, meta = load_checkpoint(s_half, d, "checkpoint")
+        assert meta["i_ep"] == 4
+        s_resumed = run(s_restored, 4, 8)
+
+    for a, b in zip(jax.tree.leaves(s_full.params_model),
+                    jax.tree.leaves(s_resumed.params_model)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    for a, b in zip(jax.tree.leaves(s_full.params_cdae),
+                    jax.tree.leaves(s_resumed.params_cdae)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

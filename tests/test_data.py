@@ -97,3 +97,11 @@ def test_eval_batcher_covers_all():
     data = np.arange(20, dtype=np.float32).reshape(10, 2)
     batches = list(EvalBatcher(data, batch_size=4))
     assert sum(b.shape[0] for b in batches) == 10
+
+
+def test_mnist32_and_cmnist_dispatch(tmp_path):
+    d32 = get_dataset("mnist32", root=str(tmp_path))
+    assert d32["train"].shape[1] == 32 * 32
+    assert d32["info"]["binarize"] is False
+    dc = get_dataset("cmnist", root=str(tmp_path))
+    assert dc["info"]["center"] is True and dc["train"].shape[1] == 784
