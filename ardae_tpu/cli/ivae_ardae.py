@@ -331,7 +331,14 @@ def main(argv=None):
         }
 
     def visualize(state, i_ep):
+        """Full reference panel set (ivae_ardae.py:953-1114): logvar-qz
+        scalars/histograms (+ per-item histograms — the reference's second
+        ``.format(ii)`` is a no-op so both items land on one tag; here they
+        get item-indexed tags), latent scatter/heatmap, the gt|latent and
+        gt|latent|std{08,05,01,0} composites, and data-recon-gen panels
+        (scatter+heatmap for toy; sampled + mean grids for mnist)."""
         params = state.params_model
+        mode = opt.train_mode
         kv = jax.random.fold_in(k_eval, i_ep)
         n_vis = min(20000, n_train)
         xs = jnp.asarray(train_np[:n_vis])
@@ -346,35 +353,66 @@ def main(argv=None):
         logvar_qz = np.log(np.var(np.asarray(
             ivae_api.sample_latents(model, params, kv, xs[:256], 64)
         ), axis=1) + 1e-10)
-        writer.add_scalar(f"{opt.train_mode}/enc/logvar_qz/mean/step",
+        writer.add_scalar(f"{mode}/enc/logvar_qz/mean/step",
                           float(logvar_qz.mean()), i_ep)
-        writer.add_scalar(f"{opt.train_mode}/enc/logvar_qz/median/step",
+        writer.add_scalar(f"{mode}/enc/logvar_qz/median/step",
                           float(np.median(logvar_qz)), i_ep)
-        writer.add_histogram(f"{opt.train_mode}/enc/logvar_qz/hist/step",
+        writer.add_histogram(f"{mode}/enc/logvar_qz/hist/step",
                              logvar_qz.reshape(-1), i_ep)
+        for ii in range(min(2, logvar_qz.shape[0])):
+            writer.add_histogram(f"train{mode}/enc/logvar_qz/hist/item{ii}/step",
+                                 logvar_qz[ii], i_ep)
+
+        # latent panels (reference: val=4 toy, val=6 mnist)
         val = 4 if not is_mnist else 6
+        _sc = get_scatter_plot(lat[""][:, :2], xlim=val, ylim=val)
+        writer.add_image(f"{mode}/latent/scatter",
+                         convert_npimage_torchimage(_sc), i_ep)
         _latent = get_2d_histogram_plot(lat[""][:, :2], val=val, num=128)
         img = convert_npimage_torchimage(
             np.concatenate([_gtlatent, _latent], axis=1))
-        writer.add_image(f"{opt.train_mode}/gt_latent/heatmap", img, i_ep)
+        writer.add_image(f"{mode}/gt_latent/heatmap", img, i_ep)
+        writer.add_image(f"{mode}/latent/heatmap",
+                         convert_npimage_torchimage(_latent), i_ep)
+        _stds = [get_2d_histogram_plot(lat[s][:, :2], val=val, num=128)
+                 for s in ("08", "05", "01", "0")]
+        img = convert_npimage_torchimage(
+            np.concatenate([_gtlatent, _latent] + _stds, axis=1))
+        writer.add_image(f"{mode}/alllatent/heatmap", img, i_ep)
+
         if not is_mnist:
-            gen, _, _ = ivae_api.generate(model, params, jax.random.fold_in(kv, 3),
-                                          4096)
-            _data = get_2d_histogram_plot(np.asarray(xs[:4096]), val=6, num=128)
-            _gen = get_2d_histogram_plot(np.asarray(gen), val=6, num=128)
-            img = convert_npimage_torchimage(np.concatenate([_data, _gen], axis=1))
-            writer.add_image(f"{opt.train_mode}/data-recon-gen/heatmap", img, i_ep)
-            _scatter = get_scatter_plot(np.asarray(gen), xlim=6, ylim=6)
-            writer.add_image(f"{opt.train_mode}/gen/scatter",
-                             convert_npimage_torchimage(_scatter), i_ep)
+            # data / recon / gen over the vis pool (reference: val=6)
+            gen, _, _ = ivae_api.generate(model, params,
+                                          jax.random.fold_in(kv, 3), n_vis)
+            output, _, _ = ivae_api.reconstruct(model, params,
+                                                jax.random.fold_in(kv, 4), xs)
+            data_np, out_np, gen_np = (np.asarray(xs), np.asarray(output),
+                                       np.asarray(gen))
+            _d = get_scatter_plot(data_np, xlim=6, ylim=6)
+            _o = get_scatter_plot(out_np, xlim=6, ylim=6)
+            _g = get_scatter_plot(gen_np, xlim=6, ylim=6)
+            img = convert_npimage_torchimage(np.concatenate([_d, _o, _g], axis=1))
+            writer.add_image(f"{mode}/data-recon-gen/scatter", img, i_ep)
+            _d = get_2d_histogram_plot(data_np, val=6, num=128)
+            _o = get_2d_histogram_plot(out_np, val=6, num=128)
+            _g = get_2d_histogram_plot(gen_np, val=6, num=128)
+            img = convert_npimage_torchimage(np.concatenate([_d, _o, _g], axis=1))
+            writer.add_image(f"{mode}/data-recon-gen/heatmap", img, i_ep)
+            # reference hardcodes this tag regardless of train_mode (:1027)
+            writer.add_image("train/gen/heatmap",
+                             convert_npimage_torchimage(_g), i_ep)
         else:
+            n_grid = min(bs, xs.shape[0])
+            output, omu, _ = ivae_api.reconstruct(
+                model, params, jax.random.fold_in(kv, 4), xs[:n_grid])
             gen, gmu, _ = ivae_api.generate(model, params,
-                                            jax.random.fold_in(kv, 3), 64)
-            grid = get_grid_image(np.asarray(gmu), 64, opt.nchannels, opt.nheight)
-            writer.add_image(f"{opt.train_mode}/gen/mean", grid, i_ep)
-            grid = get_grid_image(np.asarray(xs[:64]), 64, opt.nchannels,
-                                  opt.nheight)
-            writer.add_image(f"{opt.train_mode}/data/sample", grid, i_ep)
+                                            jax.random.fold_in(kv, 3), n_grid)
+            g = lambda t: get_grid_image(np.asarray(t), n_grid, opt.nchannels,
+                                         opt.nheight)
+            img1 = np.concatenate([g(xs[:n_grid]), g(output), g(gen)], axis=2)
+            writer.add_image(f"{mode}/data-recon-gen/sample", img1, i_ep)
+            img2 = np.concatenate([g(xs[:n_grid]), g(omu), g(gmu)], axis=2)
+            writer.add_image(f"{mode}/data-recon-gen/mean", img2, i_ep)
         writer.flush()
 
     # train loop
@@ -488,6 +526,34 @@ def main(argv=None):
     # post-training (reference :1224-1321)
     if opt.dataset in ("swissroll", "25gaussians"):
         visualize(state, i_ep)
+        # giant final heatmap dump (reference :1224-1260: ~1M samples, num=256)
+        params = state.params_model
+        kd = jax.random.fold_in(k_eval, 999_979)
+        n_dump = min(1_000_000, n_train)
+        chunks_d, chunks_o, chunks_g, chunks_l = [], [], [], []
+        for lo in range(0, n_dump, 131072):
+            xs = jnp.asarray(train_np[lo:lo + 131072])
+            kc = jax.random.fold_in(kd, lo)
+            out, _, zc = ivae_api.reconstruct(model, params,
+                                              jax.random.fold_in(kc, 1), xs)
+            gen, _, _ = ivae_api.generate(model, params,
+                                          jax.random.fold_in(kc, 2), xs.shape[0])
+            chunks_d.append(np.asarray(xs))
+            chunks_o.append(np.asarray(out))
+            chunks_g.append(np.asarray(gen))
+            chunks_l.append(np.asarray(zc))
+        data_np = np.concatenate(chunks_d)
+        out_np = np.concatenate(chunks_o)
+        gen_np = np.concatenate(chunks_g)
+        lat_np = np.concatenate(chunks_l)
+        _d = get_2d_histogram_plot(data_np, val=6, num=256)
+        _o = get_2d_histogram_plot(out_np, val=6, num=256)
+        _g = get_2d_histogram_plot(gen_np, val=6, num=256)
+        img = convert_npimage_torchimage(np.concatenate([_d, _o, _g], axis=1))
+        writer.add_image("test/data-recon-gen/heatmap", img, 0)
+        _l = get_2d_histogram_plot(lat_np[:, :2], val=4, num=256)
+        img = convert_npimage_torchimage(np.concatenate([_gtlatent, _l], axis=1))
+        writer.add_image("test/latent/heatmap", img, 0)
         writer.close()
     else:
         flavor = f"{prefix}checkpoint" if final_mode else "best-checkpoint"

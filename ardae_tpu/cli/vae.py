@@ -109,7 +109,9 @@ def main(argv=None):
     from ardae_tpu.io.checkpoint import load_checkpoint, load_end_iter, save_checkpoint
     from ardae_tpu.io.logging import logging, make_writer
     from ardae_tpu.models.registry import build_vae_model
+    from ardae_tpu.core.energy import normal_energy_func
     from ardae_tpu.models.vae.api import generate as vae_generate
+    from ardae_tpu.models.vae.api import reconstruct as vae_reconstruct
     from ardae_tpu.models.vae.api import vae_loss
     from ardae_tpu.models.vae.aux import aux_vae_loss
     from ardae_tpu.train.optim import build_optimizer
@@ -119,6 +121,8 @@ def main(argv=None):
         convert_npimage_torchimage,
         get_2d_histogram_plot,
         get_grid_image,
+        get_imshow_plot,
+        get_prob_from_energy_func_for_vis,
         get_scatter_plot,
     )
 
@@ -244,22 +248,73 @@ def main(argv=None):
                               else -np.inf),
         }
 
+    # ground-truth latent heatmap for latent panels (reference vae.py:300-311)
+    _prob = get_prob_from_energy_func_for_vis(normal_energy_func, num=256)
+    _gtlatent = get_imshow_plot(_prob, val=6 if is_mnist else 4)
+
     def visualize(state, i_ep):
+        """Full reference vae.py panel set (:497-590): latent scatter/heatmap
+        (vs. the ground-truth prior) and data-recon-gen panels — scatter +
+        heatmap for toy datasets, sampled + mean image grids for mnist.
+        (The reference's toy data-recon-gen tags are unformatted '{}/...'
+        literals — a bug documented in README; here they get the mode.)"""
         params = state.params_model
+        mode = opt.train_mode
         kv = jax.random.fold_in(k_eval, i_ep)
+        n_vis = min(20000, n_train)
+        xs = jnp.asarray(train_np[:n_vis])
+        if binarize:
+            xs = jax.random.bernoulli(jax.random.fold_in(kv, 1), xs).astype(
+                jnp.float32)
+        val = 4 if not is_mnist else 6
         if is_mnist:
-            gen, gmu, _ = vae_generate(model, params, kv, 64) if not is_aux \
-                else vae_generate(model, params, kv, 64)
-            grid = get_grid_image(np.asarray(gmu), 64, opt.nchannels, opt.nheight)
-            writer.add_image(f"{opt.train_mode}/gen/mean", grid, i_ep)
-        else:
-            gen, gmu, _ = vae_generate(model, params, kv, 4096)
-            _gen = get_2d_histogram_plot(np.asarray(gen), val=6, num=128)
-            writer.add_image(f"{opt.train_mode}/gen/heatmap",
-                             convert_npimage_torchimage(_gen), i_ep)
-            _sc = get_scatter_plot(np.asarray(gen), xlim=6, ylim=6)
-            writer.add_image(f"{opt.train_mode}/gen/scatter",
+            n_grid = min(bs, xs.shape[0])
+            output, omu, latent = vae_reconstruct(
+                model, params, jax.random.fold_in(kv, 4), xs[:n_grid])
+            gen, gmu, _ = vae_generate(model, params,
+                                       jax.random.fold_in(kv, 3), n_grid)
+            # latent panels over the full vis pool
+            _, _, latent = vae_reconstruct(model, params,
+                                           jax.random.fold_in(kv, 5), xs)
+            lat_np = np.asarray(latent).reshape(xs.shape[0], -1)
+            _sc = get_scatter_plot(lat_np[:, :2], xlim=val, ylim=val)
+            writer.add_image(f"{mode}/latent/scatter",
                              convert_npimage_torchimage(_sc), i_ep)
+            _latent = get_2d_histogram_plot(lat_np[:, :2], val=val, num=128)
+            img = convert_npimage_torchimage(
+                np.concatenate([_gtlatent, _latent], axis=1))
+            writer.add_image(f"{mode}/latent/heatmap", img, i_ep)
+            g = lambda t: get_grid_image(np.asarray(t), n_grid, opt.nchannels,
+                                         opt.nheight)
+            img1 = np.concatenate([g(xs[:n_grid]), g(output), g(gen)], axis=2)
+            writer.add_image(f"{mode}/data-recon-gen/sample", img1, i_ep)
+            img2 = np.concatenate([g(xs[:n_grid]), g(omu), g(gmu)], axis=2)
+            writer.add_image(f"{mode}/data-recon-gen/mean", img2, i_ep)
+        else:
+            gen, _, _ = vae_generate(model, params,
+                                     jax.random.fold_in(kv, 3), n_vis)
+            output, _, latent = vae_reconstruct(model, params,
+                                                jax.random.fold_in(kv, 4), xs)
+            data_np, out_np, gen_np = (np.asarray(xs), np.asarray(output),
+                                       np.asarray(gen))
+            lat_np = np.asarray(latent)
+            _d = get_scatter_plot(data_np, xlim=6, ylim=6)
+            _o = get_scatter_plot(out_np, xlim=6, ylim=6)
+            _g = get_scatter_plot(gen_np, xlim=6, ylim=6)
+            img = convert_npimage_torchimage(np.concatenate([_d, _o, _g], axis=1))
+            writer.add_image(f"{mode}/data-recon-gen/scatter", img, i_ep)
+            _d = get_2d_histogram_plot(data_np, val=6, num=128)
+            _o = get_2d_histogram_plot(out_np, val=6, num=128)
+            _g = get_2d_histogram_plot(gen_np, val=6, num=128)
+            img = convert_npimage_torchimage(np.concatenate([_d, _o, _g], axis=1))
+            writer.add_image(f"{mode}/data-recon-gen/heatmap", img, i_ep)
+            _sc = get_scatter_plot(lat_np[:, :2], xlim=val, ylim=val)
+            writer.add_image(f"{mode}/latent/scatter",
+                             convert_npimage_torchimage(_sc), i_ep)
+            _latent = get_2d_histogram_plot(lat_np[:, :2], val=val, num=128)
+            img = convert_npimage_torchimage(
+                np.concatenate([_gtlatent, _latent], axis=1))
+            writer.add_image(f"{mode}/latent/heatmap", img, i_ep)
         writer.flush()
 
     total_iters = opt.epochs * steps_per_epoch
@@ -344,6 +399,30 @@ def main(argv=None):
 
     if opt.dataset in ("swissroll", "25gaussians"):
         visualize(state, i_ep)
+        # giant final heatmap dump (reference vae.py:676-721: ~1M samples, num=256)
+        params = state.params_model
+        kd = jax.random.fold_in(k_eval, 999_979)
+        n_dump = min(1_000_000, n_train)
+        chunks_d, chunks_o, chunks_g, chunks_l = [], [], [], []
+        for lo in range(0, n_dump, 131072):
+            xs = jnp.asarray(train_np[lo:lo + 131072])
+            kc = jax.random.fold_in(kd, lo)
+            out, _, zc = vae_reconstruct(model, params,
+                                         jax.random.fold_in(kc, 1), xs)
+            gen, _, _ = vae_generate(model, params,
+                                     jax.random.fold_in(kc, 2), xs.shape[0])
+            chunks_d.append(np.asarray(xs))
+            chunks_o.append(np.asarray(out))
+            chunks_g.append(np.asarray(gen))
+            chunks_l.append(np.asarray(zc))
+        _d = get_2d_histogram_plot(np.concatenate(chunks_d), val=6, num=256)
+        _o = get_2d_histogram_plot(np.concatenate(chunks_o), val=6, num=256)
+        _g = get_2d_histogram_plot(np.concatenate(chunks_g), val=6, num=256)
+        img = convert_npimage_torchimage(np.concatenate([_d, _o, _g], axis=1))
+        writer.add_image("test/data-recon-gen/heatmap", img, 0)
+        _l = get_2d_histogram_plot(np.concatenate(chunks_l)[:, :2], val=4, num=256)
+        img = convert_npimage_torchimage(np.concatenate([_gtlatent, _l], axis=1))
+        writer.add_image("test/latent/heatmap", img, 0)
         writer.close()
     else:
         flavor = f"{prefix}checkpoint" if final_mode else "best-checkpoint"

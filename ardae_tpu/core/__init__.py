@@ -1,4 +1,5 @@
 from ardae_tpu.core.losses import (
+    loss_recon_bernoulli,
     loss_recon_bernoulli_with_logit,
     loss_recon_gaussian,
     loss_recon_gaussian_w_fixed_var,
@@ -10,8 +11,11 @@ from ardae_tpu.core.losses import (
 from ardae_tpu.core.stats import (
     logprob_gaussian,
     logprob_gaussian_w_fixed_var,
+    loss_approx_marginal_entropy_gaussian,
+    loss_marginal_entropy_gaussian,
     prob_gaussian,
     covmat,
+    shuffle,
 )
 from ardae_tpu.core.energy import (
     energy_func1,

@@ -35,6 +35,13 @@ def loss_recon_bernoulli_with_logit(logit, x, reduce: str = "per_item"):
     return _reduce(neg_ll, reduce)
 
 
+def loss_recon_bernoulli(p, x, eps: float = 1e-7):
+    """Summed BCE given probabilities (not logits)
+    (reference utils/vae.py:32-34: F.binary_cross_entropy, size_average=False)."""
+    p = jnp.clip(p, eps, 1.0 - eps)
+    return -jnp.sum(x * jnp.log(p) + (1.0 - x) * jnp.log(1.0 - p))
+
+
 def loss_recon_gaussian(mu, logvar, x, const=None, reduce: str = "per_item"):
     """Gaussian negative log-likelihood (reference utils/vae.py:36-52)."""
     elem = logvar + (x - mu) ** 2 / jnp.exp(logvar) + _LOG_2PI

@@ -39,6 +39,33 @@ def prob_gaussian(mu, logvar, z, eps: float = 1e-6):
     return jnp.exp(-0.5 * (z - mu) ** 2 / var) / std / math.sqrt(2.0 * math.pi)
 
 
+def shuffle(key, z):
+    """Independently permute each column of ``z`` across the batch
+    (reference utils/stat.py:9-15; used to approximate the product of
+    marginals). Explicit-PRNG-key version of the numpy permutation."""
+    bsz, zdim = z.shape
+    keys = jax.random.split(key, zdim)
+    cols = [jax.random.permutation(keys[i], z[:, i]) for i in range(zdim)]
+    return jnp.stack(cols, axis=1)
+
+
+def loss_marginal_entropy_gaussian(mu, logvar, z, reduce: str = "sum"):
+    """-log( mean_j N(z_i; mu_j, var_j) ) per element: entropy of the
+    kernel-density marginal (reference utils/stat.py:54-63). mu/logvar are
+    (b2, nz) kernel params, z is (b1, nz)."""
+    p = prob_gaussian(mu[None, :, :], logvar[None, :, :], z[:, None, :])
+    elem = -jnp.log(jnp.mean(p, axis=1))
+    return jnp.sum(elem) if reduce == "sum" else elem
+
+
+def loss_approx_marginal_entropy_gaussian(mu, logvar, z, reduce: str = "sum"):
+    """Mean-of-logs approximation to the marginal entropy
+    (reference utils/stat.py:87-96)."""
+    lp = logprob_gaussian(mu[None, :, :], logvar[None, :, :], z[:, None, :])
+    elem = -jnp.mean(lp, axis=1)
+    return jnp.sum(elem) if reduce == "sum" else elem
+
+
 def covmat(m):
     """Unbiased sample covariance of rows of ``m`` (n x d) -> (d x d).
 

@@ -122,6 +122,25 @@ def generate(module, params, key, batch_size):
     return sample_gaussian(kx, mu, logvar), mu, z
 
 
+def reconstruct(module, params, key, x):
+    """model(x) with nz=1 for visualization: (x_sample, x_mu_or_prob, z_flat)
+    (the reference forward's first three outputs, e.g.
+    models/ivae/mnist.py:254-280)."""
+    k_enc, k_dec = jax.random.split(key)
+    z = sample_latents(module, params, k_enc, x, 1)
+    z_flat = z.reshape(x.shape[0], -1)
+    dist_params = module.apply(params, z_flat, method=module.decode_params)
+    if module.likelihood == "bernoulli":
+        (logit,) = dist_params
+        probs = jax.nn.sigmoid(logit)
+        sample = jax.random.bernoulli(k_dec, probs).astype(jnp.float32)
+        return sample, probs, z_flat
+    mu, logvar = dist_params
+    from ardae_tpu.core.rng import sample_gaussian
+
+    return sample_gaussian(k_dec, mu, logvar), mu, z_flat
+
+
 def logprob_iws(module, params, key, x, sample_size, jitter=0.0, noise_std=None):
     """IWS log-likelihood with a covariance-Gaussian pseudo-posterior.
 

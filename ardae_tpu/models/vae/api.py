@@ -53,6 +53,30 @@ def generate(module, params, key, batch_size):
     return sample_gaussian(kx, mu, logvar), mu, z
 
 
+def reconstruct(module, params, key, x):
+    """model(x) forward for visualization: (x_sample, x_mu_or_prob, z)
+    (reference models/vae/mnist.py:131-160 returns these as its first
+    outputs). Handles both flat and hierarchical-aux families."""
+    k_enc, k_dec = jax.random.split(key)
+    if module.family == "aux_gaussian_posterior":
+        k0, k1 = jax.random.split(k_enc)
+        feats = module.apply(params, x, method=module.trunk_feats)
+        mu0, lv0 = module.apply(params, feats, method=module.aux_params)
+        z0 = sample_gaussian(k0, mu0, lv0)
+        mu_z, lv_z = module.apply(params, feats, z0, method=module.main_params)
+        z = sample_gaussian(k1, mu_z, lv_z)
+    else:
+        mu_z, logvar_z = module.apply(params, x, method=module.encode_params)
+        z = sample_gaussian(k_enc, mu_z, logvar_z)
+    dist_params = module.apply(params, z, method=module.decode_params)
+    if module.likelihood == "bernoulli":
+        (logit,) = dist_params
+        probs = jax.nn.sigmoid(logit)
+        return jax.random.bernoulli(k_dec, probs).astype(jnp.float32), probs, z
+    mu, logvar = dist_params
+    return sample_gaussian(k_dec, mu, logvar), mu, z
+
+
 def logprob_iwae(module, params, key, x, sample_size):
     """IWAE bound with the exact Gaussian q (reference models/vae/mnist.py:179-220)."""
     bsz = x.shape[0]

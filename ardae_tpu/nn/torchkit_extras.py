@@ -109,3 +109,86 @@ class GatingLinear(nn.Module):
         h = WeightNormalizedLinear(self.features, name="dot")(x)
         s = jax.nn.sigmoid(WeightNormalizedLinear(self.features, name="gate")(x))
         return s * h
+
+
+# ---------------------------------------------------------------------------
+# torchkit Sequential plumbing (reference models/layers2.py:373-462).
+# In JAX these are mostly expressible as plain composition, but working
+# equivalents are provided so every layers2 export has a counterpart.
+# ---------------------------------------------------------------------------
+
+
+class Reshape(nn.Module):
+    """(reference models/layers2.py:373-380): fixed-shape view."""
+
+    shape: tuple
+
+    def __call__(self, x):
+        return x.reshape(self.shape)
+
+
+class Slice(nn.Module):
+    """(reference models/layers2.py:383-396): stored-slice indexing."""
+
+    slc: tuple
+
+    def __call__(self, x):
+        return x[self.slc]
+
+
+class _SliceFactory:
+    def __getitem__(self, slc):
+        return Slice(slc if isinstance(slc, tuple) else (slc,))
+
+
+#: ``slicer[:, :, :-1, :-1]`` -> a Slice module (reference layers2.py:399)
+slicer = _SliceFactory()
+
+
+class Lambda(nn.Module):
+    """(reference models/layers2.py:402-409): wrap a pure function."""
+
+    function: callable
+
+    def __call__(self, x):
+        return self.function(x)
+
+
+class ContextWrapper(nn.Module):
+    """Thread a (input, context) pair through a context-free module
+    (reference models/layers2.py:441-448)."""
+
+    module: nn.Module
+
+    def __call__(self, inputs):
+        x, ctx = inputs
+        return self.module(x), ctx
+
+
+class SequentialFlow(nn.Module):
+    """Chain of flow blocks over (x, logdet, context) triples with a
+    prior-sampling entry point (reference models/layers2.py:412-438).
+
+    Each block must map (x, logdet, context) -> (x, logdet, context).
+    ``sample`` draws x ~ N(0, I) with logdet ~ U(0,1) seed values exactly
+    like the reference (np.random.rand for lgd) and pushes the triple
+    through the chain.
+    """
+
+    blocks: tuple
+    dim: int = 2
+    context_dim: int = 1
+
+    def __call__(self, inputs):
+        x, logdet, ctx = inputs
+        for block in self.blocks:
+            x, logdet, ctx = block((x, logdet, ctx))
+        return x, logdet, ctx
+
+    def sample(self, key, n: int = 1, context=None):
+        k1, k2 = jax.random.split(key)
+        x = jax.random.normal(k1, (n, self.dim))
+        logdet = jax.random.uniform(k2, (n,))
+        if context is None:
+            context = jnp.zeros((n, self.context_dim))
+        return self((x, logdet, context))

@@ -137,6 +137,62 @@ def test_ivae_cli_polyak_and_nstd(tmp_path):
 
 
 @pytest.mark.slow
+def test_ivae_cli_vis_panels_toy(tmp_path):
+    """Exercise the full toy visualization panel set (latent scatter/heatmap,
+    alllatent composite, data-recon-gen scatter+heatmap, per-item logvar
+    hists) plus the post-training giant num=256 dump — reference
+    ivae_ardae.py:953-1114 and :1224-1260."""
+    args = CANONICAL_25G + ["--cache", str(tmp_path), "--exp-num", "13",
+                            "--data-root", str(tmp_path / "data"),
+                            "--max-iters", "10", "--vis-interval", "10"]
+    assert ivae_main(args) == 0
+    exp = [d for d in glob.glob(str(tmp_path / "*"))
+           if os.path.isdir(d) and "data" not in os.path.basename(d)][0]
+    events = glob.glob(os.path.join(exp, "events.out.tfevents*"))
+    assert events and os.path.getsize(events[0]) > 50_000  # image panels logged
+
+
+@pytest.mark.slow
+def test_ivae_cli_vis_panels_mnist(tmp_path):
+    """MNIST panel set: data-recon-gen sampled + mean grids and latent
+    panels through the CLI (reference ivae_ardae.py:1049-1114)."""
+    args = (
+        "--dataset dbmnist-val5k --nheight 28 --nchannels 1 "
+        "--model mnist-concat --model-z-dim 4 --model-h-dim 16 "
+        "--model-n-layers 2 --model-nonlin softplus --model-n-dim 8 "
+        "--cdae mlp-res --cdae-h-dim 16 --cdae-n-layers 2 "
+        "--cdae-nonlin softplus --cdae-ctx-type lt0 --train-batch-size 32 "
+        "--eval-batch-size 1 --train-nz-cdae 8 --delta 0.1 --std-scale 100 "
+        "--m-optimizer adam --d-optimizer rmsprop --epochs 1 "
+        "--eval-iws-interval 0 --iws-samples 8 --log-interval 4 "
+        "--vis-interval 4 --ckpt-interval 100000 --max-iters 4"
+    ).split() + ["--cache", str(tmp_path), "--data-root", str(tmp_path / "data")]
+    assert ivae_main(args) == 0
+    exp = [d for d in glob.glob(str(tmp_path / "*"))
+           if os.path.isdir(d) and "data" not in os.path.basename(d)][0]
+    events = glob.glob(os.path.join(exp, "events.out.tfevents*"))
+    assert events and os.path.getsize(events[0]) > 50_000
+
+
+@pytest.mark.slow
+def test_vae_cli_vis_panels(tmp_path):
+    """Baseline-driver panels: toy data-recon-gen + latent panels and the
+    final giant dump (reference vae.py:497-547, :676-721)."""
+    args = (
+        "--dataset 25gaussians --nheight 1 --nchannels 2 --model toy "
+        "--model-z-dim 2 --model-h-dim 16 --model-n-layers 2 "
+        "--model-nonlin softplus --train-batch-size 64 --optimizer adam "
+        "--beta1 0.5 --lr 0.001 --epochs 1 --eval-iws-interval 0 "
+        "--iws-samples 8 --log-interval 10 --vis-interval 10 "
+        "--ckpt-interval 100000 --toy-train-size 2000 --max-iters 10"
+    ).split() + ["--cache", str(tmp_path), "--data-root", str(tmp_path / "d")]
+    assert vae_main(args) == 0
+    exp = [d for d in glob.glob(str(tmp_path / "vae-*")) if os.path.isdir(d)][0]
+    events = glob.glob(os.path.join(exp, "events.out.tfevents*"))
+    assert events and os.path.getsize(events[0]) > 50_000
+
+
+@pytest.mark.slow
 def test_vae_cli_short_run(tmp_path):
     args = (
         "--dataset 25gaussians --nheight 1 --nchannels 2 --model toy "

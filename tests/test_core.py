@@ -7,6 +7,7 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+import ardae_tpu.core as core
 from ardae_tpu.core import (
     annealing_func,
     covmat,
@@ -165,3 +166,36 @@ def test_aux_loss_for_grad_contract():
     np.testing.assert_allclose(dx, g)
     dg = jax.grad(lambda gg: aux_loss_for_grad(x, gg))(g)
     np.testing.assert_allclose(dg, np.zeros_like(g))
+
+
+def test_shuffle_permutes_columns_independently():
+    """Each column is a permutation of the original (reference utils/stat.py:9)."""
+    key = jax.random.PRNGKey(3)
+    z = jnp.arange(24.0).reshape(8, 3)
+    out = core.shuffle(key, z)
+    for i in range(3):
+        assert sorted(np.asarray(out[:, i]).tolist()) == \
+            sorted(np.asarray(z[:, i]).tolist())
+    assert not np.allclose(np.asarray(out), np.asarray(z))
+
+
+def test_marginal_entropy_gaussian_single_kernel():
+    """With one kernel the marginal reduces to the plain Gaussian logprob
+    (reference utils/stat.py:54-63, 87-96)."""
+    mu = jnp.zeros((1, 2))
+    logvar = jnp.zeros((1, 2))
+    z = jnp.asarray([[0.5, -1.0], [2.0, 0.0]])
+    exact = -core.logprob_gaussian(jnp.zeros(2), jnp.zeros(2), z)
+    got = core.loss_marginal_entropy_gaussian(mu, logvar, z, reduce="none")
+    np.testing.assert_allclose(np.asarray(got), np.asarray(exact), rtol=1e-4)
+    got2 = core.loss_approx_marginal_entropy_gaussian(mu, logvar, z, reduce="none")
+    np.testing.assert_allclose(np.asarray(got2), np.asarray(exact), rtol=1e-5)
+
+
+def test_loss_recon_bernoulli_matches_logit_version():
+    key = jax.random.PRNGKey(5)
+    logit = jax.random.normal(key, (4, 7))
+    x = jax.random.bernoulli(jax.random.PRNGKey(6), 0.5, (4, 7)).astype(jnp.float32)
+    via_logit = jnp.sum(core.loss_recon_bernoulli_with_logit(logit, x))
+    via_prob = core.loss_recon_bernoulli(jax.nn.sigmoid(logit), x)
+    np.testing.assert_allclose(float(via_prob), float(via_logit), rtol=1e-4)

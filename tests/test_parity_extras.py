@@ -141,3 +141,34 @@ def test_logprob_kde_linear_gaussian_close_to_exact():
     cov = B @ B.T + jnp.eye(2)
     exact = float(jnp.mean(mvn_logprob(x, jnp.zeros(2), jnp.linalg.cholesky(cov))))
     assert abs(lp - exact) < 0.2, (lp, exact)
+
+def test_torchkit_sequential_plumbing():
+    """Reshape/Slice/slicer/Lambda/ContextWrapper/SequentialFlow equivalents
+    (reference models/layers2.py:373-462)."""
+    import flax.linen as nn
+    from ardae_tpu.nn.torchkit_extras import (
+        ContextWrapper, Lambda, Reshape, SequentialFlow, Slice, slicer,
+    )
+
+    assert Reshape((2, 6)).apply({}, jnp.ones((3, 4))).shape == (2, 6)
+    # the reference resconv decoder's crop idiom: slicer[:, :-1, :-1, :]
+    x = jnp.arange(16.0).reshape(1, 4, 4, 1)
+    assert slicer[:, :-1, :-1, :].apply({}, x).shape == (1, 3, 3, 1)
+    assert float(Lambda(jnp.sum).apply({}, jnp.ones((2, 3)))) == 6.0
+
+    wrapped = ContextWrapper(Lambda(jnp.tanh))
+    y, ctx = wrapped.apply({}, (jnp.zeros((2, 2)), jnp.ones((2, 1))))
+    assert y.shape == (2, 2) and ctx.shape == (2, 1)
+
+    # flow chain: two blocks that shift x and accumulate logdet
+    class Shift(nn.Module):
+        @nn.compact
+        def __call__(self, inputs):
+            x, logdet, ctx = inputs
+            return x + 1.0, logdet + 2.0, ctx
+
+    flow = SequentialFlow(blocks=(Shift(), Shift()), dim=3, context_dim=2)
+    key = jax.random.PRNGKey(0)
+    x, logdet, ctx = flow.apply({}, key, 5, method=flow.sample)
+    assert x.shape == (5, 3) and ctx.shape == (5, 2)
+    assert np.all(np.asarray(logdet) >= 4.0)  # U(0,1) seed + 2 + 2
