@@ -111,6 +111,9 @@ def build_parser():
     p.add_argument("--cdae-compute-dtype", default="float32",
                    choices=["float32", "bfloat16"],
                    help="mixed-precision PHASE-A DSM loss (1.7x on v5e)")
+    p.add_argument("--model-compute-dtype", default="float32",
+                   choices=["float32", "bfloat16"],
+                   help="mixed-precision PHASE-B model update (fp32 loss math)")
     p.add_argument("--profile-dir", default=None,
                    help="capture a jax.profiler trace of one post-warmup "
                         "chunk into this directory (tensorboard-viewable)")
@@ -292,6 +295,7 @@ def main(argv=None):
         weight_avg=opt.m_weight_avg, weight_avg_start=opt.m_weight_avg_start,
         weight_avg_decay=opt.m_weight_avg_decay,
         cdae_compute_dtype=opt.cdae_compute_dtype,
+        model_compute_dtype=opt.model_compute_dtype,
     )
 
     def beta_fn(step):

@@ -82,17 +82,35 @@ def recon_loss_fn(module, dist_params, target_flat):
     )
 
 
-def ivae_loss(module, params, key, x, nz, beta=1.0, noise_std=None):
+def ivae_loss(module, params, key, x, nz, beta=1.0, noise_std=None,
+              compute_dtype=None):
     """One model-forward pass: loss = mean(recon + beta * prior_energy).
 
     Matches the reference loss (e.g. models/ivae/mnist.py:240-249): the
     q-entropy term is deliberately absent — its gradient is injected by the
     CDAE (see train/step.py). Returns (loss, dict of terms).
+
+    ``compute_dtype='bfloat16'`` runs the encoder/decoder matmuls in bf16
+    (params cast inside, so fp32 master params receive fp32 grads through
+    the cast's transpose) while the loss reductions — BCE/Gaussian sums
+    over pixels and the prior energy — stay fp32.
     """
     bsz = x.shape[0]
-    z = sample_latents(module, params, key, x, nz, noise_std)
+    if compute_dtype is not None:
+        cd = jnp.dtype(compute_dtype)
+        params = jax.tree.map(
+            lambda a: a.astype(cd) if a.dtype == jnp.float32 else a, params
+        )
+        x_c = x.astype(cd)
+    else:
+        x_c = x
+    z = sample_latents(module, params, key, x_c, nz, noise_std)
+    z = z.astype(jnp.float32)
     z_flat = z.reshape(bsz * nz, -1)
-    dist_params = module.apply(params, z_flat, method=module.decode_params)
+    dist_params = module.apply(
+        params, z_flat.astype(x_c.dtype), method=module.decode_params
+    )
+    dist_params = jax.tree.map(lambda d: d.astype(jnp.float32), dist_params)
     x_flat = x.reshape(bsz, -1)
     target = jnp.broadcast_to(x_flat[:, None, :], (bsz, nz, x_flat.shape[-1]))
     recon = recon_loss_fn(module, dist_params, target.reshape(bsz * nz, -1))

@@ -59,6 +59,10 @@ class StepConfig:
     # grad-style canonical config (20.0 -> 11.6 ms); fp32 default for exact
     # reference parity.
     cdae_compute_dtype: str = "float32"
+    # Mixed precision for the PHASE-B model forward/backward (encoder,
+    # decoder, and the detached context/latent-mean passes); the loss
+    # reductions and the injected entropy-gradient term stay fp32.
+    model_compute_dtype: str = "float32"
     weight_avg: str = "none"  # none | polyak | swa
     weight_avg_start: int = 1000
     weight_avg_decay: float = 0.998
@@ -167,12 +171,26 @@ def model_update(model, cdae, opt_m, cfg: StepConfig, params_cdae, params_model,
     nz = cfg.train_nz_model
     k_fwd, k_det = jax.random.split(key)
 
-    def loss_fn(p):
-        model_loss, terms = ivae_api.ivae_loss(model, p, k_fwd, x, nz, beta=beta)
-        z = terms["z"]  # (B, nz, zdim)
+    bf16_b = cfg.model_compute_dtype == "bfloat16"
 
-        ctx = stop_grad(compute_context(model, p, x, cfg.ctx_type))
-        latent_mean = stop_grad(ivae_api.encode_det(model, p, x))  # (B,1,z)
+    def loss_fn(p):
+        model_loss, terms = ivae_api.ivae_loss(
+            model, p, k_fwd, x, nz, beta=beta,
+            compute_dtype="bfloat16" if bf16_b else None)
+        z = terms["z"]  # (B, nz, zdim), fp32
+
+        # detached passes: safe to run entirely in bf16 when enabled
+        if bf16_b:
+            bf = jnp.bfloat16
+            p_det = jax.tree.map(
+                lambda a: a.astype(bf) if a.dtype == jnp.float32 else a, p)
+            x_det = x.astype(bf)
+        else:
+            p_det, x_det = p, x
+        ctx = stop_grad(compute_context(model, p_det, x_det, cfg.ctx_type))
+        ctx = ctx.astype(jnp.float32)
+        latent_mean = stop_grad(
+            ivae_api.encode_det(model, p_det, x_det)).astype(jnp.float32)
         lsm_det = stop_grad(cfg.std_scale * (z - latent_mean))
         score = stop_grad(cdae_score(cdae, params_cdae, lsm_det, ctx, 0.0))
 

@@ -137,6 +137,26 @@ def test_ivae_cli_polyak_and_nstd(tmp_path):
 
 
 @pytest.mark.slow
+def test_ivae_cli_mixed_precision_both_phases(tmp_path):
+    """--cdae-compute-dtype + --model-compute-dtype wired through to the
+    joint step (guards against the parsed-but-not-wired class of bug)."""
+    args = CANONICAL_25G + ["--cache", str(tmp_path), "--exp-num", "17",
+                            "--data-root", str(tmp_path / "data"),
+                            "--max-iters", "20",
+                            "--cdae-compute-dtype", "bfloat16",
+                            "--model-compute-dtype", "bfloat16"]
+    assert ivae_main(args) == 0
+    exp = [d for d in glob.glob(str(tmp_path / "*"))
+           if os.path.isdir(d) and "data" not in os.path.basename(d)][0]
+    log = open(os.path.join(exp, "log.txt")).read()
+    assert "| iter 20 " in log
+    assert "model_compute_dtype='bfloat16'" in log  # Namespace echoed to log
+    for line in log.splitlines():
+        if "| iter 20 " in line:
+            assert "nan" not in line.lower()
+
+
+@pytest.mark.slow
 def test_ivae_cli_vis_panels_toy(tmp_path):
     """Exercise the full toy visualization panel set (latent scatter/heatmap,
     alllatent composite, data-recon-gen scatter+heatmap, per-item logvar

@@ -107,3 +107,30 @@ def test_toy_e2e_loss_decreases():
     first, last = np.mean(losses[:20]), np.mean(losses[-20:])
     assert last < first, f"no learning: first={first:.3f} last={last:.3f}"
     assert np.isfinite(last)
+
+
+def test_model_compute_dtype_bf16_step():
+    """PHASE-B bf16: master params stay fp32, one joint step is finite and
+    close to the fp32 step (loss reductions are fp32 by construction)."""
+    model, cdae, params_model, params_cdae, x = _build()
+    opt_m = build_optimizer("adam", 1e-4, beta1=0.5)
+    opt_d = build_optimizer("rmsprop", 1e-4, momentum=0.5)
+
+    outs = {}
+    for dt in ("float32", "bfloat16"):
+        cfg = StepConfig(std_scale=10.0, delta=0.1, num_cdae_updates=1,
+                         train_nz_cdae=16, train_nz_model=2, ctx_type="lt0",
+                         model_compute_dtype=dt)
+        state = create_train_state(params_model, opt_m, params_cdae, opt_d)
+        step = build_train_step(model, cdae, opt_m, opt_d, cfg)
+        state2, metrics = step(state, x[None], x, KEY, 1.0)
+        assert all(a.dtype == jnp.float32
+                   for a in jax.tree.leaves(state2.params_model))
+        assert jnp.isfinite(metrics["model_loss"])
+        outs[dt] = (float(metrics["model_loss"]), state2.params_model)
+    # bf16 forward wobbles the loss only slightly on a tiny model
+    assert abs(outs["float32"][0] - outs["bfloat16"][0]) < 0.05 * (
+        1.0 + abs(outs["float32"][0]))
+    diffs = jax.tree.map(lambda a, b: float(jnp.max(jnp.abs(a - b))),
+                         outs["float32"][1], outs["bfloat16"][1])
+    assert max(jax.tree.leaves(diffs)) < 1e-3  # one optimizer step apart at most
