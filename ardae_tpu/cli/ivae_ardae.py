@@ -114,6 +114,10 @@ def build_parser():
     p.add_argument("--model-compute-dtype", default="float32",
                    choices=["float32", "bfloat16"],
                    help="mixed-precision PHASE-B model update (fp32 loss math)")
+    p.add_argument("--dp-devices", type=int, default=0,
+                   help="data-parallel device count: shard batches over a "
+                        "1-D jax.sharding mesh, params replicated, gradient "
+                        "all-reduce inserted by XLA over ICI (0 = off)")
     p.add_argument("--profile-dir", default=None,
                    help="capture a jax.profiler trace of one post-warmup "
                         "chunk into this directory (tensorboard-viewable)")
@@ -316,6 +320,30 @@ def main(argv=None):
     stream = IndexStream(n_train, bs, seed=opt.seed + 1)
     binarize = bool(info.get("binarize", False))
 
+    # data parallelism over a 1-D mesh (ardae_tpu extension; the reference
+    # is single-GPU — SURVEY.md 2.8). Batch INDEX arrays are sharded on the
+    # batch axis, so the device-side gather lands each shard's rows locally;
+    # the replicated params make XLA psum the grads over ICI.
+    mesh = None
+    if opt.dp_devices and opt.dp_devices > 1:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from ardae_tpu.parallel.mesh import make_mesh
+        from ardae_tpu.parallel.mesh import replicated as replicated_sharding
+
+        if bs % opt.dp_devices:
+            raise SystemExit(
+                f"--train-batch-size {bs} not divisible by "
+                f"--dp-devices {opt.dp_devices}")
+        mesh = make_mesh(opt.dp_devices)
+        repl = replicated_sharding(mesh)
+        state = jax.device_put(state, repl)
+        data_dev = jax.device_put(data_dev, repl)
+        cidx_sharding = NamedSharding(mesh, P(None, None, "data"))
+        midx_sharding = NamedSharding(mesh, P(None, "data"))
+        logging(f"data-parallel mesh over {opt.dp_devices} "
+                f"{jax.devices()[0].platform} devices", path=opt.path)
+
     eval_params = lambda s: (s.avg_params_model
                              if opt.m_weight_avg != "none" else s.params_model)
     jitter = 1e-5 if model.family == "aux" else 0.0
@@ -443,8 +471,11 @@ def main(argv=None):
                          and i_ep > 0 and not getattr(opt, "_profiled", False))
             if profiling:
                 jax.profiler.start_trace(opt.profile_dir)
-            state, metrics = chunk_fn(state, data_dev, jnp.asarray(c_idx),
-                                      jnp.asarray(m_idx), k_train, 1.0,
+            ci, mi = jnp.asarray(c_idx), jnp.asarray(m_idx)
+            if mesh is not None:
+                ci = jax.device_put(ci, cidx_sharding)
+                mi = jax.device_put(mi, midx_sharding)
+            state, metrics = chunk_fn(state, data_dev, ci, mi, k_train, 1.0,
                                       binarize=binarize)
             if profiling:
                 jax.device_get(metrics["model_loss"])

@@ -62,6 +62,8 @@ def build_parser():
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--toy-train-size", type=int, default=2_000_000)
     p.add_argument("--max-iters", type=int, default=None)
+    p.add_argument("--dp-devices", type=int, default=0,
+                   help="data-parallel device count over a 1-D mesh (0 = off)")
     return p
 
 
@@ -238,6 +240,26 @@ def main(argv=None):
     eval_params = lambda s: (s.avg_params_model
                              if opt.weight_avg != "none" else s.params_model)
 
+    # data parallelism over a 1-D mesh (see cli/ivae_ardae.py)
+    mesh = None
+    if opt.dp_devices and opt.dp_devices > 1:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from ardae_tpu.parallel.mesh import make_mesh
+        from ardae_tpu.parallel.mesh import replicated as replicated_sharding
+
+        if bs % opt.dp_devices:
+            raise SystemExit(
+                f"--train-batch-size {bs} not divisible by "
+                f"--dp-devices {opt.dp_devices}")
+        mesh = make_mesh(opt.dp_devices)
+        repl = replicated_sharding(mesh)
+        state = jax.device_put(state, repl)
+        data_dev = jax.device_put(data_dev, repl)
+        midx_sharding = NamedSharding(mesh, P(None, "data"))
+        logging(f"data-parallel mesh over {opt.dp_devices} "
+                f"{jax.devices()[0].platform} devices", path=opt.path)
+
     def ckpt_meta():
         return {
             "i_ep": i_ep,
@@ -334,6 +356,8 @@ def main(argv=None):
             )
             k = min(k, total_iters - i_ep)
             m_idx = jnp.asarray(stream.take(k))
+            if mesh is not None:
+                m_idx = jax.device_put(m_idx, midx_sharding)
             state, metrics = chunk_fn(state, data_dev, m_idx, k_train,
                                       binarize_flag=binarize)
             i_ep += k

@@ -157,6 +157,50 @@ def test_ivae_cli_mixed_precision_both_phases(tmp_path):
 
 
 @pytest.mark.slow
+def test_ivae_cli_data_parallel_mesh(tmp_path):
+    """--dp-devices 8: batches sharded over the (virtual) 8-device mesh,
+    params replicated, XLA all-reduces grads. Training trajectory must
+    match the single-device run closely (same fold_in(seed, step) noise;
+    only reduction order differs)."""
+    import re as _re
+
+    def run(tag, extra):
+        args = CANONICAL_25G + ["--cache", str(tmp_path / tag), "--exp-num", "21",
+                                "--data-root", str(tmp_path / "data"),
+                                "--max-iters", "20"] + extra
+        assert ivae_main(args) == 0
+        exp = [d for d in glob.glob(str(tmp_path / tag / "*"))
+               if os.path.isdir(d)][0]
+        log = open(os.path.join(exp, "log.txt")).read()
+        m = _re.findall(r"loss \(vae\) ([-\d.]+)", log)
+        return log, [float(v) for v in m]
+
+    log_dp, losses_dp = run("dp", ["--dp-devices", "8"])
+    assert "data-parallel mesh over 8" in log_dp
+    _, losses_1 = run("single", [])
+    assert len(losses_dp) == len(losses_1) == 2
+    for a, b in zip(losses_dp, losses_1):
+        assert abs(a - b) < 0.05 * (1 + abs(b)), (losses_dp, losses_1)
+
+
+@pytest.mark.slow
+def test_vae_cli_data_parallel_mesh(tmp_path):
+    args = (
+        "--dataset 25gaussians --nheight 1 --nchannels 2 --model toy "
+        "--model-z-dim 2 --model-h-dim 16 --model-n-layers 2 "
+        "--model-nonlin softplus --train-batch-size 64 --optimizer adam "
+        "--beta1 0.5 --lr 0.001 --epochs 1 --eval-iws-interval 0 "
+        "--iws-samples 8 --log-interval 10 --vis-interval 100000 "
+        "--ckpt-interval 100000 --toy-train-size 2000 --max-iters 20 "
+        "--dp-devices 8"
+    ).split() + ["--cache", str(tmp_path), "--data-root", str(tmp_path / "d")]
+    assert vae_main(args) == 0
+    exp = [d for d in glob.glob(str(tmp_path / "vae-*")) if os.path.isdir(d)][0]
+    log = open(os.path.join(exp, "log.txt")).read()
+    assert "data-parallel mesh over 8" in log and "| iter 20 " in log
+
+
+@pytest.mark.slow
 def test_ivae_cli_vis_panels_toy(tmp_path):
     """Exercise the full toy visualization panel set (latent scatter/heatmap,
     alllatent composite, data-recon-gen scatter+heatmap, per-item logvar
