@@ -278,3 +278,27 @@ def test_vae_cli_short_run(tmp_path):
     assert os.path.exists(os.path.join(dirs[0], "final-checkpoint"))
     log2 = open(os.path.join(dirs[0], "log.txt")).read()
     assert "End of training (final)" in log2
+
+
+def test_canonical_scripts_parse():
+    """Every CLI line in scripts/run_vae_*.sh must parse against our flag
+    surface (the reference's own dbmnist script fails this for its stale
+    --init-method/--do-m5bias flags — documented-not-replicated)."""
+    import shlex
+
+    root = os.path.join(os.path.dirname(__file__), "..", "scripts")
+    n_lines = 0
+    for sh in sorted(glob.glob(os.path.join(root, "run_vae_*.sh"))):
+        body = open(sh).read().replace("\\\n", " ")
+        for line in body.splitlines():
+            line = line.strip()
+            if not line.startswith("python -m ardae_tpu.cli."):
+                continue
+            toks = shlex.split(line)
+            driver, flags = toks[2], toks[3:]
+            parser = (ivae_parser() if driver.endswith("ivae_ardae")
+                      else vae_parser())
+            opt = parser.parse_args(flags)
+            assert opt.dataset
+            n_lines += 1
+    assert n_lines == 1 + 12 + 4  # 25gaussians + dbmnist + sbmnist lines
