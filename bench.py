@@ -64,11 +64,13 @@ def main():
     params_model = model.init(key, jnp.zeros((bs, 784)), jnp.zeros((bs, n_dim)))
     params_cdae = cdae.init(key, jnp.zeros((4, z_dim)), jnp.zeros((4, ctx_dim)),
                             jnp.zeros((4, 1)))
-    # bf16 PHASE-A compute: 1.7x on the grad-style DSM loss, training
-    # quality validated equivalent to fp32 (VALIDATION.md / test suite)
+    # bf16 compute in BOTH phases (fp32 master params + loss reductions):
+    # 1.7x on the grad-style DSM loss, training quality validated equivalent
+    # to fp32 at full canonical scale (VALIDATION.md / test suite)
     cfg = StepConfig(std_scale=10000.0, delta=0.1, num_cdae_updates=1,
                      train_nz_cdae=nz_cdae, train_nz_model=1, ctx_type="lt0",
-                     cdae_compute_dtype="bfloat16")
+                     cdae_compute_dtype="bfloat16",
+                     model_compute_dtype="bfloat16")
     opt_m = build_optimizer("adam", 1e-4, beta1=0.5)
     opt_d = build_optimizer("rmsprop", 1e-4, momentum=0.5)
     state = create_train_state(params_model, opt_m, params_cdae, opt_d)
