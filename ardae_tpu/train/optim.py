@@ -78,6 +78,46 @@ def torch_adam(lr, b1: float = 0.9, b2: float = 0.999, eps: float = 1e-8,
     return optax.GradientTransformation(init_fn, update_fn)
 
 
+def torch_adamw(lr, b1: float = 0.9, b2: float = 0.999, eps: float = 1e-8,
+                weight_decay: float = 1e-2, amsgrad: bool = False):
+    """Exact replica of the reference's vendored AdamW (utils/optim.py:111-215):
+    decoupled stepweight decay p *= (1 - lr*wd) applied BEFORE the update,
+    and eps added before the bias-correction division
+    (denom = (sqrt(v)+eps)/sqrt(bc2)), unlike the vendored Adam."""
+
+    def init_fn(params):
+        return _AdamState(
+            jnp.zeros([], jnp.int32),
+            jax.tree.map(jnp.zeros_like, params),
+            jax.tree.map(jnp.zeros_like, params),
+            jax.tree.map(jnp.zeros_like, params),
+        )
+
+    def update_fn(updates, state, params=None):
+        assert params is not None, "torch_adamw needs params (decoupled decay)"
+        count = state.count + 1
+        bc1 = 1.0 - b1 ** count.astype(jnp.float32)
+        bc2 = 1.0 - b2 ** count.astype(jnp.float32)
+        cur_lr = _as_sched(lr)(state.count)
+        mu = jax.tree.map(lambda m, g: b1 * m + (1 - b1) * g, state.mu, updates)
+        nu = jax.tree.map(lambda v, g: b2 * v + (1 - b2) * g * g, state.nu, updates)
+        if amsgrad:
+            max_nu = jax.tree.map(jnp.maximum, state.max_nu, nu)
+            denom_src = max_nu
+        else:
+            max_nu = state.max_nu
+            denom_src = nu
+        step_size = cur_lr / bc1
+        new_updates = jax.tree.map(
+            lambda p, m, v: -cur_lr * weight_decay * p
+            - step_size * m / ((jnp.sqrt(v) + eps) / jnp.sqrt(bc2)),
+            params, mu, denom_src,
+        )
+        return new_updates, _AdamState(count, mu, nu, max_nu)
+
+    return optax.GradientTransformation(init_fn, update_fn)
+
+
 class _RMSPropStateC(NamedTuple):
     count: jnp.ndarray
     sq: optax.Updates
@@ -132,4 +172,6 @@ def build_optimizer(name: str, lr: float, beta1: float = 0.5, momentum: float = 
         return torch_adam(lr, b1=beta1, b2=0.999, amsgrad=True)
     if name == "rmsprop":
         return torch_rmsprop(lr, momentum=momentum)
+    if name == "adamw":  # vendored by the reference (utils/optim.py:111)
+        return torch_adamw(lr, b1=beta1, b2=0.999)
     raise NotImplementedError(f"unknown optimizer: {name}")

@@ -172,3 +172,33 @@ def test_torchkit_sequential_plumbing():
     x, logdet, ctx = flow.apply({}, key, 5, method=flow.sample)
     assert x.shape == (5, 3) and ctx.shape == (5, 2)
     assert np.all(np.asarray(logdet) >= 4.0)  # U(0,1) seed + 2 + 2
+
+
+def test_torch_adamw_parity():
+    """torch_adamw must track torch.optim.AdamW step for step (the reference
+    vendors this optimizer at utils/optim.py:111-215)."""
+    import torch
+
+    from ardae_tpu.train.optim import torch_adamw
+
+    rng = np.random.default_rng(0)
+    p0 = rng.normal(size=(5, 3)).astype(np.float32)
+    grads = [rng.normal(size=(5, 3)).astype(np.float32) for _ in range(5)]
+
+    tp = torch.nn.Parameter(torch.tensor(p0.copy()))
+    topt = torch.optim.AdamW([tp], lr=1e-2, betas=(0.9, 0.999), eps=1e-8,
+                             weight_decay=1e-2)
+    for g in grads:
+        topt.zero_grad()
+        tp.grad = torch.tensor(g)
+        topt.step()
+
+    tx = torch_adamw(1e-2, b1=0.9, b2=0.999, eps=1e-8, weight_decay=1e-2)
+    params = {"w": jnp.asarray(p0)}
+    state = tx.init(params)
+    for g in grads:
+        updates, state = tx.update({"w": jnp.asarray(g)}, state, params)
+        params = jax.tree.map(lambda p, u: p + u, params, updates)
+
+    np.testing.assert_allclose(np.asarray(params["w"]),
+                               tp.detach().numpy(), rtol=1e-5, atol=1e-6)
