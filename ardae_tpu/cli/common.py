@@ -116,7 +116,9 @@ def evaluate_iws_ivae(model, params, eval_data, iws_samples, key,
     from ardae_tpu.models.ivae.api import logprob_iws
 
     if batch is None:
-        batch = max(1, min(256, (1 << 22) // (iws_samples * 28 * 28)))
+        # measured on v5e (10k items, IWS-256, resconv decoder): 128 is
+        # ~1.5x faster than 20 and faster than 256 (HBM pressure)
+        batch = max(1, min(128, (1 << 25) // (iws_samples * 28 * 28)))
 
     @jax.jit
     def one(params, x, key):
@@ -154,7 +156,9 @@ def evaluate_iwae_vae(model, params, eval_data, iws_samples, key,
     from ardae_tpu.models.vae.aux import aux_logprob_iwae, aux_vae_loss
 
     if batch is None:
-        batch = max(1, min(256, (1 << 22) // (iws_samples * 28 * 28)))
+        # measured on v5e (10k items, IWS-256, resconv decoder): 128 is
+        # ~1.5x faster than 20 and faster than 256 (HBM pressure)
+        batch = max(1, min(128, (1 << 25) // (iws_samples * 28 * 28)))
 
     lp_fn = aux_logprob_iwae if aux else logprob_iwae
     loss_fn = aux_vae_loss if aux else vae_loss

@@ -176,6 +176,13 @@ def logprob_iws(module, params, key, x, sample_size, jitter=0.0, noise_std=None)
     z = sample_latents(module, params, k_enc, x, sample_size, noise_std)
     mu_qz = jnp.mean(z, axis=1)  # (bsz, zdim)
     cov = jax.vmap(covmat)(z) + jitter * jnp.eye(zdim)  # (bsz, zdim, zdim)
+    # relative jitter floor: an early/collapsed posterior can make the sample
+    # covariance numerically rank-deficient, where the reference's torch
+    # MultivariateNormal hard-crashes and a raw Cholesky yields NaN. 1e-6 x
+    # mean-diagonal inflates eigenvalues by a relative 1e-6 — far below the
+    # 0.2-nat comparability budget — and keeps the bound finite.
+    mean_diag = jnp.mean(jnp.diagonal(cov, axis1=-2, axis2=-1), axis=-1)
+    cov = cov + (1e-6 * mean_diag + 1e-30)[:, None, None] * jnp.eye(zdim)
     chol = jnp.linalg.cholesky(cov)
 
     # newz ~ N(mu_qz, cov) and its log-density

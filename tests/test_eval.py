@@ -94,3 +94,22 @@ def test_ivae_generate_shapes():
     model, params, _ = _toy_ipvae()
     sample, mu, z = ivae_api.generate(model, params, KEY, 7)
     assert sample.shape == (7, 2) and mu.shape == (7, 2) and z.shape == (7, 2)
+
+
+def test_iws_finite_with_rank_deficient_covariance():
+    """sample_size < z_dim makes the sample covariance singular; the
+    reference's torch MultivariateNormal crashes there (it asserts
+    sample_size >= 2*z_dim, models/ivae/mnist.py:382). Our relative jitter
+    floor keeps the bound finite (valid, just loose) instead of NaN."""
+    from ardae_tpu.models.ivae.toy import ToyIPVAE
+    from ardae_tpu.models.ivae import api as ivae_api
+
+    model = ToyIPVAE(input_dim=2, noise_dim=1, h_dim=8, z_dim=4,
+                     nonlinearity="relu", num_hidden_layers=1,
+                     enc_type="concat")
+    key = jax.random.PRNGKey(0)
+    x = jax.random.normal(key, (6, 2))
+    params = model.init(key, x, jnp.zeros((6, 1)))
+    # ssz=3 < z_dim=4 -> rank-deficient covariance
+    lp = ivae_api.logprob_iws(model, params, key, x, sample_size=3)
+    assert np.isfinite(float(lp))
