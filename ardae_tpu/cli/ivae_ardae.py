@@ -114,6 +114,9 @@ def build_parser():
     p.add_argument("--model-compute-dtype", default="float32",
                    choices=["float32", "bfloat16"],
                    help="mixed-precision PHASE-B model update (fp32 loss math)")
+    p.add_argument("--use-pallas", action="store_true", default=False,
+                   help="fused Pallas DSM kernel for supported cdae configs "
+                        "(res h<=256, grad h<=256)")
     p.add_argument("--dp-devices", type=int, default=0,
                    help="data-parallel device count: shard batches over a "
                         "1-D jax.sharding mesh, params replicated, gradient "
@@ -300,6 +303,7 @@ def main(argv=None):
         weight_avg_decay=opt.m_weight_avg_decay,
         cdae_compute_dtype=opt.cdae_compute_dtype,
         model_compute_dtype=opt.model_compute_dtype,
+        use_pallas=opt.use_pallas,
     )
 
     def beta_fn(step):

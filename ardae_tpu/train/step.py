@@ -132,6 +132,10 @@ def cdae_update(model, cdae, opt_d, cfg: StepConfig, params_model, params_cdae,
 
     from ardae_tpu.ops.fused_dsm import fused_cdae_dsm_loss, supports_fused_dsm
 
+    # NOTE: the grad-style fused kernel (ops/fused_dsm_grad) is correctness-
+    # validated but measured SLOWER than XLA's fused double-backward and
+    # bf16-unsafe — it is deliberately not dispatched here (see its
+    # docstring for the measurements).
     use_fused = (
         cfg.use_pallas
         and cfg.noise_type == "gaussian"
