@@ -231,8 +231,11 @@ def upsample_bilinear_align_corners(x, factor: int = 2):
     Exact to torch semantics and lowers onto the MXU instead of gathers.
     """
     n, h, w, c = x.shape
-    wh = jnp.asarray(_align_corners_matrix(h, h * factor))
-    ww = jnp.asarray(_align_corners_matrix(w, w * factor))
+    # interpolation matrices follow x's dtype so bf16 passes stay bf16
+    # (an fp32 constant would promote the activations and mismatch the
+    # bf16 conv kernels downstream)
+    wh = jnp.asarray(_align_corners_matrix(h, h * factor), dtype=x.dtype)
+    ww = jnp.asarray(_align_corners_matrix(w, w * factor), dtype=x.dtype)
     # interpolate H: (H_out, H) @ (N, H, W*C)
     y = jnp.einsum("oh,nhwc->nowc", wh, x)
     y = jnp.einsum("ow,nhwc->nhoc", ww, y)
