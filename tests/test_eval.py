@@ -113,3 +113,24 @@ def test_iws_finite_with_rank_deficient_covariance():
     # ssz=3 < z_dim=4 -> rank-deficient covariance
     lp = ivae_api.logprob_iws(model, params, key, x, sample_size=3)
     assert np.isfinite(float(lp))
+
+
+def test_evaluate_iws_tail_batch_counts_every_item():
+    """eval split not divisible by the internal batch: the tail chunk must
+    be evaluated too, and the result is the item-weighted mean."""
+    from ardae_tpu.cli.common import evaluate_iws_ivae
+    from ardae_tpu.models.ivae.toy import ToyIPVAE
+
+    model = ToyIPVAE(input_dim=2, noise_dim=2, h_dim=8, z_dim=2,
+                     nonlinearity="relu", num_hidden_layers=1,
+                     enc_type="concat")
+    key = jax.random.PRNGKey(0)
+    data = np.asarray(jax.random.normal(key, (11, 2)))  # 11 = 2*4 + 3 tail
+    params = model.init(key, jnp.asarray(data[:4]), jnp.zeros((4, 2)))
+    lp_tail = evaluate_iws_ivae(model, params, data, 16,
+                                jax.random.PRNGKey(1), batch=4)
+    lp_full = evaluate_iws_ivae(model, params, data, 16,
+                                jax.random.PRNGKey(1), batch=11)
+    assert np.isfinite(lp_tail) and np.isfinite(lp_full)
+    # same items, same bound family: means agree within MC noise
+    assert abs(lp_tail - lp_full) < 1.5
