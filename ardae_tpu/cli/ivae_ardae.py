@@ -115,8 +115,9 @@ def build_parser():
                    choices=["float32", "bfloat16"],
                    help="mixed-precision PHASE-B model update (fp32 loss math)")
     p.add_argument("--use-pallas", action="store_true", default=False,
-                   help="fused Pallas DSM kernel for supported cdae configs "
-                        "(res h<=256, grad h<=256)")
+                   help="fused Pallas DSM kernel (res-style cdae, h<=256; "
+                        "the grad-style kernel exists but measured slower "
+                        "than XLA and is not dispatched)")
     p.add_argument("--dp-devices", type=int, default=0,
                    help="data-parallel device count: shard batches over a "
                         "1-D jax.sharding mesh, params replicated, gradient "
@@ -339,6 +340,10 @@ def main(argv=None):
             raise SystemExit(
                 f"--train-batch-size {bs} not divisible by "
                 f"--dp-devices {opt.dp_devices}")
+        if len(jax.devices()) < opt.dp_devices:
+            raise SystemExit(
+                f"--dp-devices {opt.dp_devices} but only "
+                f"{len(jax.devices())} devices are available")
         mesh = make_mesh(opt.dp_devices)
         repl = replicated_sharding(mesh)
         state = jax.device_put(state, repl)

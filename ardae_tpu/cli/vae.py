@@ -252,6 +252,10 @@ def main(argv=None):
             raise SystemExit(
                 f"--train-batch-size {bs} not divisible by "
                 f"--dp-devices {opt.dp_devices}")
+        if len(jax.devices()) < opt.dp_devices:
+            raise SystemExit(
+                f"--dp-devices {opt.dp_devices} but only "
+                f"{len(jax.devices())} devices are available")
         mesh = make_mesh(opt.dp_devices)
         repl = replicated_sharding(mesh)
         state = jax.device_put(state, repl)
@@ -295,10 +299,15 @@ def main(argv=None):
                 model, params, jax.random.fold_in(kv, 4), xs[:n_grid])
             gen, gmu, _ = vae_generate(model, params,
                                        jax.random.fold_in(kv, 3), n_grid)
-            # latent panels over the full vis pool
-            _, _, latent = vae_reconstruct(model, params,
-                                           jax.random.fold_in(kv, 5), xs)
-            lat_np = np.asarray(latent).reshape(xs.shape[0], -1)
+            # latent panels over the vis pool, collected in batch-size
+            # chunks (one 20k-row conv fwd would be a multi-GB dispatch)
+            lat_chunks = []
+            for lo in range(0, xs.shape[0], max(bs, 256)):
+                _, _, zc = vae_reconstruct(
+                    model, params, jax.random.fold_in(kv, 5 + lo),
+                    xs[lo:lo + max(bs, 256)])
+                lat_chunks.append(np.asarray(zc))
+            lat_np = np.concatenate(lat_chunks).reshape(xs.shape[0], -1)
             _sc = get_scatter_plot(lat_np[:, :2], xlim=val, ylim=val)
             writer.add_image(f"{mode}/latent/scatter",
                              convert_npimage_torchimage(_sc), i_ep)

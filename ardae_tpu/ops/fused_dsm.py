@@ -289,6 +289,8 @@ def fused_cdae_dsm_loss(module, params, key, latent, context, std,
     """
     bsz, ssz, d = latent.shape
     n = bsz * ssz
+    if n % tile:
+        raise ValueError(f"rows {n} not divisible by tile {tile}")
     x = latent.reshape(n, d)
     sigma = jnp.broadcast_to(jnp.asarray(std, latent.dtype), (bsz, ssz, 1))
     sigma = sigma.reshape(n, 1)

@@ -354,6 +354,10 @@ def fused_cdae_dsm_grad_loss(module, params, key, latent, context, std,
     """
     bsz, ssz, d = latent.shape
     n = bsz * ssz
+    if n % tile:
+        # the grid would silently drop the tail rows AND leave their dctx
+        # rows uninitialized — refuse instead (see supports_fused_dsm_grad)
+        raise ValueError(f"rows {n} not divisible by tile {tile}")
     x = latent.reshape(n, d).astype(jnp.float32)
     sigma = jnp.broadcast_to(jnp.asarray(std, jnp.float32), (bsz, ssz, 1))
     sigma = sigma.reshape(n, 1)

@@ -257,6 +257,24 @@ def test_vae_cli_vis_panels(tmp_path):
 
 
 @pytest.mark.slow
+def test_vae_cli_vis_panels_mnist(tmp_path):
+    """vae driver MNIST panels: latent pool collected in chunks, sampled +
+    mean grids (reference vae.py:548-590)."""
+    args = (
+        "--dataset dbmnist-val5k --nheight 28 --nchannels 1 --model mnist "
+        "--model-z-dim 4 --model-h-dim 16 --model-n-layers 2 "
+        "--model-nonlin softplus --train-batch-size 32 --optimizer adam "
+        "--beta1 0.5 --lr 0.001 --epochs 1 --eval-iws-interval 0 "
+        "--iws-samples 8 --log-interval 4 --vis-interval 4 "
+        "--ckpt-interval 100000 --max-iters 4"
+    ).split() + ["--cache", str(tmp_path), "--data-root", str(tmp_path / "d")]
+    assert vae_main(args) == 0
+    exp = [d for d in glob.glob(str(tmp_path / "vae-*")) if os.path.isdir(d)][0]
+    events = glob.glob(os.path.join(exp, "events.out.tfevents*"))
+    assert events and os.path.getsize(events[0]) > 50_000
+
+
+@pytest.mark.slow
 def test_vae_cli_short_run(tmp_path):
     args = (
         "--dataset 25gaussians --nheight 1 --nchannels 2 --model toy "
