@@ -270,13 +270,6 @@ def main(argv=None):
                       h_dim=opt.cdae_h_dim, n_layers=opt.cdae_n_layers,
                       nonlin=opt.cdae_nonlin)
 
-    if opt.model_compute_dtype == "bfloat16" and model.family == "aux":
-        logging(
-            "WARNING: --model-compute-dtype bfloat16 measurably degrades "
-            "hierarchical-aux training (auxresconvct val IWS-256 -62.7 vs "
-            "-42.6 at matched iters; the posterior spread collapses, "
-            "VALIDATION.md) — use float32 phase-B for aux models.",
-            path=opt.path)
 
     key = jax.random.PRNGKey(opt.seed)
     k_init_m, k_init_d, k_train, k_eval = jax.random.split(key, 4)
