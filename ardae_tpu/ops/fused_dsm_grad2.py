@@ -1,0 +1,408 @@
+"""Pallas TPU kernel v2: pipelined fused second-order DSM loss + grads for
+the GRADIENT-style conditional AR-DAE (reference models/graddae/mlp.py:341-483).
+
+MEASURED VERDICT (1x v5e, canonical shape h=256 L=5, 80k rows,
+value_and_grad inside a 10-step scan):
+    XLA fp32 21.8 ms | XLA bf16 13.9 ms
+    v2 tile=128: 70 ms (fp32 and bf16 alike)
+    v2 tile>=256: Mosaic register-allocator spill (237 MB of scoped VMEM
+    at tile 640) -> permanent compile OOM.
+Structurally WORSE than v1 (49-53 ms): the item-aligned grid
+(bsz x sub_tiles = 640 steps of 128 rows) does fix v1's VMEM-footprint and
+context-HBM-traffic problems, but it serializes the whole second-order
+computation into 640 dependent steps of ~21 small (128,256)x(256,256)
+matmuls each — per-step MXU utilization is far below XLA's 80k-row
+per-layer fusions, and gradient accumulation across every grid step forces
+strict sequential execution (no cross-step overlap of the accumulator
+writes). Conclusion after two designs: this op WANTS the batch dimension
+whole; a fused kernel would have to keep 80k-row activations resident,
+which cannot fit VMEM. XLA's pipelined per-layer fusions (bf16 double
+backward) remain the production path; the kernel is kept as a
+correctness-validated experiment (exact vs jax.grad in fp32 incl. the
+padding path — tests/test_fused_dsm.py).
+
+Same math as ops/fused_dsm_grad (the v1 straight-line kernel, validated
+against jax.grad): loss L = mean((sigma*s + eps)^2) with s = -d e/d x_bar,
+and dL/dtheta accumulated via the JVP identity dL/dtheta = d/dtheta
+sum_rows JVP(e; w_dir), carrying adjoints for both the primal (A) and
+tangent (At) chains with the phi''*tangent coupling. v1's measured failure
+modes, fixed structurally here:
+
+1. 58 MB straight-line VMEM working set (no cross-step pipelining).
+   -> Pre-activation chains live in explicit VMEM *scratch* arrays
+      (n_layers, tile, h) instead of long-lived SSA values, and the row
+      tile is 128, so Mosaic reuses buffers and the per-step footprint is
+      a few MB (h=256: ~6 MB incl. fp32 grad accumulators).
+2. 80 MB broadcast ctx_rows input streamed from HBM.
+   -> The grid is item-aligned: grid = (bsz, S) with each step processing
+      one 128-row slice of one item's samples; the per-item first-layer
+      context contribution enters as a (1, h) block and d/d(ctx) is
+      REDUCED IN-KERNEL to (bsz, h) — HBM traffic for the context path
+      drops from O(n*h) to O(bsz*h).
+3. bf16 tangent underflow (w_dir ~ 2*sigma*resid/(n*d) ~ 1e-9 -> garbage
+   gradients in bf16).
+   -> Loss-scaling: the kernel propagates the UNNORMALIZED tangent
+      w_dir = -2*sigma*resid (O(1e-2..1)) and divides every accumulated
+      gradient (and the loss sum) by n*d once, in fp32, at the final grid
+      step.
+4. Transposed matmuls (a.T @ b) materialized transposes.
+   -> dot_general contracting the row dimension directly (MXU-native).
+
+Zero-valued padding rows (sample axis padded to a multiple of the tile)
+are exact no-ops: eps = sigma = 0 makes resid = 0, hence w_dir = 0, hence
+every tangent and adjoint contribution vanishes (the At chain alone is
+nonzero but only ever multiplies tangent activations, which are 0).
+
+Convention note: `sigma` here is the DSM noise level drawn per (item,
+sample) by the caller (train/step.py PHASE A), NOT the posterior std.
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ardae_tpu.ops.fused_dsm_grad import _acts, flatten_grad_params
+
+_TILE = 128  # default row-tile; callers may override (multiple of 16)
+
+
+def _mm(a, b):
+    """a @ b, fp32 accumulation."""
+    return jax.lax.dot_general(a, b, (((1,), (0,)), ((), ())),
+                               preferred_element_type=jnp.float32)
+
+
+def _mmT(a, b):
+    """a @ b.T without materializing the transpose."""
+    return jax.lax.dot_general(a, b, (((1,), (1,)), ((), ())),
+                               preferred_element_type=jnp.float32)
+
+
+def _mTm(a, b):
+    """a.T @ b (contract rows) without materializing the transpose."""
+    return jax.lax.dot_general(a, b, (((0,), (0,)), ((), ())),
+                               preferred_element_type=jnp.float32)
+
+
+def _kernel(n_enc, n_hid, act, n_total, n_items, sub_tiles, cdt,
+            # inputs
+            xbar_ref, eps_ref, sigma_ref, ctx_ref, *rest):
+    # rest layout: enc w/b pairs (n_enc), w0row, w0sig, b0, hid w/b pairs
+    # (n_hid), wout | same-order grad outputs (minus wout bias), dctx, loss
+    # | scratch: q, tq, p, tp
+    n_w = 2 * n_enc + 3 + 2 * n_hid + 1
+    w_refs = rest[:n_w]
+    g_refs = rest[n_w:2 * n_w]
+    dctx_ref = rest[2 * n_w]
+    loss_ref = rest[2 * n_w + 1]
+    q_ref, tq_ref, p_ref, tp_ref = rest[2 * n_w + 2:]
+    phi, dphi, d2phi = _acts(act)
+
+    def enc_w(i):
+        return w_refs[2 * i][:]
+
+    def enc_b(i):
+        return w_refs[2 * i + 1][:]
+
+    w0row_ref, w0sig_ref, b0_ref = w_refs[2 * n_enc:2 * n_enc + 3]
+
+    def hid_w(j):  # j in 1..n_hid
+        return w_refs[2 * n_enc + 3 + 2 * (j - 1)][:]
+
+    def hid_b(j):
+        return w_refs[2 * n_enc + 3 + 2 * (j - 1) + 1][:]
+
+    wout_ref = w_refs[-1]
+
+    i_item = pl.program_id(0)
+    i_sub = pl.program_id(1)
+    is_first = jnp.logical_and(i_item == 0, i_sub == 0)
+    is_last = jnp.logical_and(i_item == n_items - 1, i_sub == sub_tiles - 1)
+
+    @pl.when(is_first)
+    def _():
+        for g in g_refs:
+            g[...] = jnp.zeros(g.shape, jnp.float32)
+        dctx_ref[...] = jnp.zeros(dctx_ref.shape, jnp.float32)
+        loss_ref[0, 0] = 0.0
+
+    xbar = xbar_ref[:].astype(cdt)
+    sigma = sigma_ref[:].astype(jnp.float32)           # (T, 1)
+    eps = eps_ref[:].astype(jnp.float32)
+    # the whole (bsz, h) context table is VMEM-resident; pick item i's row
+    ctx_row = ctx_ref[pl.ds(i_item, 1), :].astype(jnp.float32)  # (1, h)
+
+    # ---- 1. forward: store pre-activations in scratch ----------------------
+    cur = xbar
+    for i in range(n_enc):
+        pre = _mm(cur, enc_w(i)) + enc_b(i)
+        q_ref[i] = pre.astype(cdt)
+        cur = phi(pre).astype(cdt)
+    e_out = cur                                        # enc output, (T, h)
+    pre0 = (_mm(e_out, w0row_ref[:]) + sigma * w0sig_ref[:]
+            + b0_ref[:] + ctx_row)
+    p_ref[0] = pre0.astype(cdt)
+    cur = phi(pre0).astype(cdt)
+    for j in range(1, n_hid + 1):
+        pre = _mm(cur, hid_w(j)) + hid_b(j)
+        p_ref[j] = pre.astype(cdt)
+        cur = phi(pre).astype(cdt)
+
+    # ---- 2. input gradient g = de/dxbar ------------------------------------
+    wout_col = wout_ref[:, 0].astype(jnp.float32)      # (h,)
+    dh = jnp.broadcast_to(wout_col[None, :], pre0.shape)
+    for j in range(n_hid, 0, -1):
+        dp = (dh * dphi(p_ref[j].astype(jnp.float32))).astype(cdt)
+        dh = _mmT(dp, hid_w(j))
+    dp0 = (dh * dphi(p_ref[0].astype(jnp.float32))).astype(cdt)
+    da = _mmT(dp0, w0row_ref[:])
+    for i in range(n_enc - 1, -1, -1):
+        dq = (da * dphi(q_ref[i].astype(jnp.float32))).astype(cdt)
+        da = _mmT(dq, enc_w(i))
+    g = da                                             # (T, d) fp32
+
+    # ---- 3. loss + UNNORMALIZED tangent direction --------------------------
+    resid = -sigma * g + eps                           # sigma*s + eps
+    loss_ref[0, 0] += jnp.sum(resid * resid)
+    w_dir = (-2.0 * sigma * resid).astype(cdt)         # scaled by n_total
+
+    # ---- 4. tangent (JVP) chain --------------------------------------------
+    tcur = w_dir
+    for i in range(n_enc):
+        tpre = _mm(tcur, enc_w(i))
+        tq_ref[i] = tpre.astype(cdt)
+        tcur = (dphi(q_ref[i].astype(jnp.float32)) * tpre).astype(cdt)
+    te_out = tcur
+    tp0 = _mm(te_out, w0row_ref[:])
+    tp_ref[0] = tp0.astype(cdt)
+    tcur = (dphi(pre0) * tp0).astype(cdt)
+    for j in range(1, n_hid + 1):
+        tpre = _mm(tcur, hid_w(j))
+        tp_ref[j] = tpre.astype(cdt)
+        tcur = (dphi(p_ref[j].astype(jnp.float32)) * tpre).astype(cdt)
+    th_last = tcur                                     # tangent input to out
+
+    g_refs[-1][...] += jnp.sum(
+        th_last.astype(jnp.float32), axis=0)[:, None]  # d/d wout (h, 1)
+
+    # ---- 5. reverse over primal+tangent ------------------------------------
+    A = jnp.zeros(pre0.shape, jnp.float32)
+    At = jnp.broadcast_to(wout_col[None, :], pre0.shape)
+    for j in range(n_hid, 0, -1):
+        pf = p_ref[j].astype(jnp.float32)
+        d1 = dphi(pf)
+        Atp = (At * d1).astype(cdt)
+        Ap = (A * d1 + At * d2phi(pf) * tp_ref[j].astype(jnp.float32)
+              ).astype(cdt)
+        pprev = p_ref[j - 1].astype(jnp.float32)
+        h_in = phi(pprev).astype(cdt)
+        th_in = (dphi(pprev) * tp_ref[j - 1].astype(jnp.float32)).astype(cdt)
+        k = 2 * n_enc + 3 + 2 * (j - 1)
+        g_refs[k][...] += _mTm(h_in, Ap) + _mTm(th_in, Atp)
+        g_refs[k + 1][...] += jnp.sum(
+            Ap.astype(jnp.float32), axis=0, keepdims=True)
+        A = _mmT(Ap, hid_w(j))
+        At = _mmT(Atp, hid_w(j))
+    d1 = dphi(pre0)
+    Atp0 = (At * d1).astype(cdt)
+    Ap0 = (A * d1 + At * d2phi(pre0) * tp0).astype(cdt)
+    Ap0_f = Ap0.astype(jnp.float32)
+    g_refs[2 * n_enc][...] += _mTm(e_out, Ap0) + _mTm(te_out, Atp0)
+    g_refs[2 * n_enc + 1][...] += jnp.sum(
+        sigma * Ap0_f, axis=0, keepdims=True)          # d/d w0sig
+    g_refs[2 * n_enc + 2][...] += jnp.sum(Ap0_f, axis=0, keepdims=True)
+    dctx_ref[pl.ds(i_item, 1), :] += jnp.sum(Ap0_f, axis=0, keepdims=True)
+    A = _mmT(Ap0, w0row_ref[:])
+    At = _mmT(Atp0, w0row_ref[:])
+    for i in range(n_enc - 1, -1, -1):
+        qf = q_ref[i].astype(jnp.float32)
+        d1 = dphi(qf)
+        Atq = (At * d1).astype(cdt)
+        Aq = (A * d1 + At * d2phi(qf) * tq_ref[i].astype(jnp.float32)
+              ).astype(cdt)
+        if i == 0:
+            a_in, ta_in = xbar, w_dir
+        else:
+            qprev = q_ref[i - 1].astype(jnp.float32)
+            a_in = phi(qprev).astype(cdt)
+            ta_in = (dphi(qprev) * tq_ref[i - 1].astype(jnp.float32)
+                     ).astype(cdt)
+        g_refs[2 * i][...] += _mTm(a_in, Aq) + _mTm(ta_in, Atq)
+        g_refs[2 * i + 1][...] += jnp.sum(
+            Aq.astype(jnp.float32), axis=0, keepdims=True)
+        if i > 0:
+            A = _mmT(Aq, enc_w(i))
+            At = _mmT(Atq, enc_w(i))
+
+    # ---- 6. unscale (1/n_total) once, in fp32 ------------------------------
+    inv = 1.0 / n_total
+
+    @pl.when(is_last)
+    def _():
+        for gr in g_refs:
+            gr[...] = gr[...] * inv
+        dctx_ref[...] = dctx_ref[...] * inv
+        loss_ref[0, 0] = loss_ref[0, 0] * inv
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3, 4, 5, 6, 7))
+def _fused2(n_enc, n_hid, act, interpret, cdt_name, ssz, ssz_pad, tile,
+            flat_ws, xbar, eps, sigma, ctx_l0):
+    loss, _ = _fused2_fwd(n_enc, n_hid, act, interpret, cdt_name, ssz,
+                          ssz_pad, tile, flat_ws, xbar, eps, sigma, ctx_l0)
+    return loss
+
+
+def _run2(n_enc, n_hid, act, interpret, cdt_name, ssz, ssz_pad, tile,
+          flat_ws, xbar, eps, sigma, ctx_l0):
+    bsz, h = ctx_l0.shape
+    d = xbar.shape[-1]
+    sub_tiles = ssz_pad // tile
+    n_total = float(bsz * ssz * d)
+    cdt = jnp.dtype(cdt_name)
+
+    # split the trunk-l0 kernel (h+1, h) into its enc-rows and sigma-row
+    # parts (the kernel treats sigma as a rank-1 outer product, no concat)
+    ws = list(flat_ws)
+    w0 = ws[2 * n_enc]
+    kernel_inputs = (
+        ws[: 2 * n_enc]
+        + [w0[:h, :], w0[h:h + 1, :], ws[2 * n_enc + 1][None, :]]
+        + ws[2 * n_enc + 2: -2]
+        + [ws[-2]]
+    )
+    # biases arrive flat (h,) from flax except w0sig/b0 handled above
+    kernel_inputs = [
+        (w if w.ndim == 2 else w[None, :]) for w in kernel_inputs
+    ]
+    # matrix weights (first dim > 1) in compute dtype; every rank-1-ish
+    # parameter (biases, the sigma row) stays fp32
+    cast = [w.astype(cdt) if w.shape[0] > 1 else w.astype(jnp.float32)
+            for w in kernel_inputs]
+
+    def row_block(cols):
+        return pl.BlockSpec((tile, cols), lambda i, s: (i * sub_tiles + s, 0),
+                            memory_space=pltpu.VMEM)
+
+    def const_block(shape):
+        return pl.BlockSpec(shape, lambda i, s: tuple(0 for _ in shape),
+                            memory_space=pltpu.VMEM)
+
+    kernel = functools.partial(_kernel, n_enc, n_hid, act, n_total, bsz,
+                               sub_tiles, cdt)
+    grad_shapes = [jax.ShapeDtypeStruct(w.shape, jnp.float32)
+                   for w in kernel_inputs]
+    outs = pl.pallas_call(
+        kernel,
+        grid=(bsz, sub_tiles),
+        in_specs=[row_block(d), row_block(d), row_block(1),
+                  const_block((bsz, h))]
+        + [const_block(w.shape) for w in kernel_inputs],
+        out_specs=[const_block(w.shape) for w in kernel_inputs]
+        + [const_block((bsz, h)),
+           pl.BlockSpec((1, 1), lambda i, s: (0, 0),
+                        memory_space=pltpu.SMEM)],
+        out_shape=grad_shapes
+        + [jax.ShapeDtypeStruct((bsz, h), jnp.float32),
+           jax.ShapeDtypeStruct((1, 1), jnp.float32)],
+        scratch_shapes=[
+            pltpu.VMEM((n_enc, tile, h), cdt),
+            pltpu.VMEM((n_enc, tile, h), cdt),
+            pltpu.VMEM((n_hid + 1, tile, h), cdt),
+            pltpu.VMEM((n_hid + 1, tile, h), cdt),
+        ],
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024),
+    )(xbar, eps, sigma, *([ctx_l0] + cast))
+    k_grads, dctx, loss = outs[:-2], outs[-2], outs[-1][0, 0]
+
+    # reassemble flax-shaped grads: [W,b] pairs, w0 = concat(row, sigma),
+    # out bias grad = 0 (the score is bias-invariant)
+    w_grads = []
+    for i in range(n_enc):
+        w_grads += [k_grads[2 * i], k_grads[2 * i + 1][0]]
+    w_grads += [jnp.concatenate(
+        [k_grads[2 * n_enc], k_grads[2 * n_enc + 1]], axis=0),
+        k_grads[2 * n_enc + 2][0]]
+    for j in range(n_hid):
+        k = 2 * n_enc + 3 + 2 * j
+        w_grads += [k_grads[k], k_grads[k + 1][0]]
+    w_grads += [k_grads[-1], jnp.zeros(flat_ws[-1].shape, jnp.float32)]
+    return loss, (w_grads, dctx)
+
+
+def _fused2_fwd(n_enc, n_hid, act, interpret, cdt_name, ssz, ssz_pad, tile,
+                flat_ws, xbar, eps, sigma, ctx_l0):
+    loss, (w_grads, dctx) = _run2(n_enc, n_hid, act, interpret, cdt_name,
+                                  ssz, ssz_pad, tile, flat_ws, xbar, eps,
+                                  sigma, ctx_l0)
+    return loss, (w_grads, dctx, xbar, eps, sigma)
+
+
+def _fused2_bwd(n_enc, n_hid, act, interpret, cdt_name, ssz, ssz_pad, tile,
+                res, g):
+    w_grads, dctx, xbar, eps, sigma = res
+    return ([g * gw for gw in w_grads], jnp.zeros_like(xbar),
+            jnp.zeros_like(eps), jnp.zeros_like(sigma), g * dctx)
+
+
+_fused2.defvjp(_fused2_fwd, _fused2_bwd)
+
+
+def supports_fused_dsm_grad2(module, bsz, ssz):
+    """Grad-style, conditional, sigma-conditioned, enc-input CARDAE with h a
+    lane multiple and a VMEM footprint that fits (h<=512 measured)."""
+    return (
+        module.score_type == "grad"
+        and module.conditional
+        and module.sigma_conditioned
+        and module.enc_input
+        and module.h_dim % 128 == 0
+        and module.h_dim <= 512
+        and module.nonlinearity in ("softplus", "relu", "tanh")
+    )
+
+
+def fused_cdae_dsm_grad_loss2(module, params, key, latent, context, std,
+                              interpret=False, compute_dtype="bfloat16",
+                              tile=None):
+    """Drop-in replacement for cdae_loss (gaussian noise, grad style):
+    identical math, one fused pipelined second-order kernel.
+
+    latent: (bsz, ssz, d); context: (bsz, ctx_dim) or (bsz, 1, ctx_dim);
+    std: scalar or (bsz, ssz, 1). The sample axis is padded to a tile
+    multiple with eps = sigma = 0 rows (exact no-ops, see module docstring);
+    the per-item context encoder stays in XLA and receives its gradient
+    through the in-kernel-reduced (bsz, h) d/d(ctx_l0).
+    """
+    bsz, ssz, d = latent.shape
+    if tile is None:
+        # tiles >= 256 spill the Mosaic register allocator at h=256 (see
+        # module docstring); 128 is the only tile measured to both compile
+        # and run at canonical shapes
+        tile = _TILE
+    ssz_pad = -(-ssz // tile) * tile
+    x = latent.astype(jnp.float32)
+    sigma = jnp.broadcast_to(jnp.asarray(std, jnp.float32), (bsz, ssz, 1))
+    eps = jax.random.normal(key, (bsz, ssz, d), jnp.float32)
+    xbar = x + sigma * eps
+    if ssz_pad != ssz:
+        pad = [(0, 0), (0, ssz_pad - ssz), (0, 0)]
+        xbar = jnp.pad(xbar, pad)
+        eps = jnp.pad(eps, pad)
+        sigma = jnp.pad(sigma, pad)
+
+    from ardae_tpu.models.cdae.cardae import _ctx_l0
+
+    ctx_l0 = _ctx_l0(module, params, context).astype(jnp.float32)  # (bsz, h)
+
+    flat_ws, n_enc, n_hid = flatten_grad_params(params)
+    flat_ws = [w.astype(jnp.float32) for w in flat_ws]
+    return _fused2(n_enc, n_hid, module.nonlinearity, interpret,
+                   compute_dtype, ssz, ssz_pad, tile, flat_ws,
+                   xbar.reshape(-1, d), eps.reshape(-1, d),
+                   sigma.reshape(-1, 1), ctx_l0)

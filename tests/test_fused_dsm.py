@@ -151,3 +151,53 @@ def test_fused_grad_style_bf16_close():
                                         tile=64, interpret=True,
                                         compute_dtype="bfloat16"))
     assert abs(l1 - l2) < 0.02 * (1.0 + abs(l1))
+
+
+# ---------------------- grad-style fused kernel, v2 ------------------------
+
+from ardae_tpu.ops.fused_dsm_grad2 import (
+    fused_cdae_dsm_grad_loss2,
+    supports_fused_dsm_grad2,
+)
+
+
+@pytest.mark.parametrize("nonlin", ["softplus", "tanh", "relu"])
+def test_fused_grad2_matches_xla(nonlin):
+    """v2 (item-aligned grid, scratch-chained) second-order kernel: loss and
+    every parameter gradient must match jax.grad of the XLA path in fp32."""
+    module, params, latent, ctx, std = _setup_grad(nonlin=nonlin)
+    key = jax.random.PRNGKey(7)
+    l1, g1 = jax.value_and_grad(
+        lambda p: cdae_loss(module, p, key, latent, ctx, std))(params)
+    l2, g2 = jax.value_and_grad(
+        lambda p: fused_cdae_dsm_grad_loss2(module, p, key, latent, ctx, std,
+                                            interpret=True,
+                                            compute_dtype="float32",
+                                            tile=32))(params)
+    np.testing.assert_allclose(float(l1), float(l2), rtol=1e-5)
+    flat2 = {jax.tree_util.keystr(kp): v
+             for kp, v in jax.tree_util.tree_leaves_with_path(g2)}
+    for kp, v1 in jax.tree_util.tree_leaves_with_path(g1):
+        k = jax.tree_util.keystr(kp)
+        np.testing.assert_allclose(np.asarray(v1), np.asarray(flat2[k]),
+                                   rtol=5e-4, atol=1e-6, err_msg=k)
+
+
+def test_fused_grad2_sample_axis_padding():
+    """ssz not a tile multiple: zero-valued padding rows must be exact no-ops."""
+    module, params, latent, ctx, std = _setup_grad(ssz=50)
+    key = jax.random.PRNGKey(8)
+    l1 = float(cdae_loss(module, params, key, latent, ctx, std))
+    l2 = float(fused_cdae_dsm_grad_loss2(module, params, key, latent, ctx,
+                                         std, interpret=True,
+                                         compute_dtype="float32", tile=32))
+    np.testing.assert_allclose(l1, l2, rtol=1e-5)
+
+
+def test_supports_fused_grad2_predicate():
+    grad_mod = MLPGradCARDAE(input_dim=4, context_dim=4, h_dim=256)
+    assert supports_fused_dsm_grad2(grad_mod, 128, 625)
+    res_mod = MLPResCARDAE(input_dim=4, context_dim=4, h_dim=256)
+    assert not supports_fused_dsm_grad2(res_mod, 128, 625)
+    big = MLPGradCARDAE(input_dim=4, context_dim=4, h_dim=1024)
+    assert not supports_fused_dsm_grad2(big, 128, 625)
