@@ -174,6 +174,12 @@ def main(argv=None):
     opt = build_parser().parse_args(argv)
 
     import jax
+
+    if opt.no_cuda:
+        # reference semantics (ivae_ardae.py:199-200): --no-cuda selects the
+        # host device. Must be set before first backend use; the env var
+        # JAX_PLATFORMS is ignored under the axon preset.
+        jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
 
     from ardae_tpu.cli.common import (

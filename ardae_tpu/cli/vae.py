@@ -96,6 +96,12 @@ def main(argv=None):
     opt = build_parser().parse_args(argv)
 
     import jax
+
+    if opt.no_cuda:
+        # reference semantics (vae.py:199-style): --no-cuda selects the host
+        # device. Must be set before first backend use; the env var
+        # JAX_PLATFORMS is ignored under the axon preset.
+        jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
 
     from ardae_tpu.cli.common import (

@@ -94,6 +94,10 @@ def _synthetic_mnist(n, seed):
     noise = rng.normal(0.0, 0.08, (n, 28, 28)).astype(np.float32)
     out = imgs * amp + noise * (imgs > 0.05)
     out = np.clip(out, 0.0, 1.0).astype(np.float32)
+    # snap the sigmoid's sub-1e-3 background tail to exactly 0 so the
+    # "zero-entropy background" invariant holds literally (and static
+    # binarization never flips a stray background pixel)
+    out[out < 1e-3] = 0.0
     return out.reshape(n, 784), labels.astype(np.int64)
 
 

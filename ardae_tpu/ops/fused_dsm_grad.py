@@ -361,7 +361,9 @@ def fused_cdae_dsm_grad_loss(module, params, key, latent, context, std,
     x = latent.reshape(n, d).astype(jnp.float32)
     sigma = jnp.broadcast_to(jnp.asarray(std, jnp.float32), (bsz, ssz, 1))
     sigma = sigma.reshape(n, 1)
-    eps = jax.random.normal(key, (n, d), jnp.float32)
+    # draw in latent.dtype (same-key parity with cdae_loss, which samples in
+    # the input dtype), then promote for the fp32 kernel math
+    eps = jax.random.normal(key, (n, d), latent.dtype).astype(jnp.float32)
     xbar = x + sigma * eps
 
     from ardae_tpu.models.cdae.cardae import _ctx_l0

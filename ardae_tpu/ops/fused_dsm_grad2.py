@@ -355,7 +355,8 @@ _fused2.defvjp(_fused2_fwd, _fused2_bwd)
 
 def supports_fused_dsm_grad2(module, bsz, ssz):
     """Grad-style, conditional, sigma-conditioned, enc-input CARDAE with h a
-    lane multiple and a VMEM footprint that fits (h<=512 measured)."""
+    lane multiple and a VMEM footprint that fits (h<=512 measured; the
+    whole (bsz, h) context table is VMEM-resident, so bsz is bounded)."""
     return (
         module.score_type == "grad"
         and module.conditional
@@ -363,6 +364,8 @@ def supports_fused_dsm_grad2(module, bsz, ssz):
         and module.enc_input
         and module.h_dim % 128 == 0
         and module.h_dim <= 512
+        # fp32 ctx table + fp32 dctx accumulator must be a small VMEM slice
+        and 2 * bsz * module.h_dim * 4 <= 4 * 1024 * 1024
         and module.nonlinearity in ("softplus", "relu", "tanh")
     )
 
@@ -388,7 +391,9 @@ def fused_cdae_dsm_grad_loss2(module, params, key, latent, context, std,
     ssz_pad = -(-ssz // tile) * tile
     x = latent.astype(jnp.float32)
     sigma = jnp.broadcast_to(jnp.asarray(std, jnp.float32), (bsz, ssz, 1))
-    eps = jax.random.normal(key, (bsz, ssz, d), jnp.float32)
+    # draw in latent.dtype (same-key parity with cdae_loss, which samples in
+    # the input dtype), then promote for the fp32 kernel math
+    eps = jax.random.normal(key, (bsz, ssz, d), latent.dtype).astype(jnp.float32)
     xbar = x + sigma * eps
     if ssz_pad != ssz:
         pad = [(0, 0), (0, ssz_pad - ssz), (0, 0)]

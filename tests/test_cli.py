@@ -320,3 +320,17 @@ def test_canonical_scripts_parse():
             assert opt.dataset
             n_lines += 1
     assert n_lines == 1 + 12 + 4  # 25gaussians + dbmnist + sbmnist lines
+
+
+@pytest.mark.slow
+def test_ivae_cli_no_cuda_runs_on_host(tmp_path):
+    """--no-cuda selects the host platform (reference ivae_ardae.py:199-200:
+    cuda = not no_cuda and available). Under the CPU test mesh this is a
+    same-value config update; the run must complete normally."""
+    args = CANONICAL_25G + ["--cache", str(tmp_path), "--exp-num", "11",
+                            "--data-root", str(tmp_path / "data"),
+                            "--max-iters", "10", "--no-cuda"]
+    assert ivae_main(args) == 0
+    import jax
+
+    assert jax.default_backend() == "cpu"

@@ -184,14 +184,25 @@ def test_fused_grad2_matches_xla(nonlin):
 
 
 def test_fused_grad2_sample_axis_padding():
-    """ssz not a tile multiple: zero-valued padding rows must be exact no-ops."""
+    """ssz not a tile multiple: zero-valued padding rows must be exact no-ops
+    for the loss AND every parameter gradient (the At adjoint chain is
+    nonzero on padding rows; only its tangent factors vanish)."""
     module, params, latent, ctx, std = _setup_grad(ssz=50)
     key = jax.random.PRNGKey(8)
-    l1 = float(cdae_loss(module, params, key, latent, ctx, std))
-    l2 = float(fused_cdae_dsm_grad_loss2(module, params, key, latent, ctx,
-                                         std, interpret=True,
-                                         compute_dtype="float32", tile=32))
-    np.testing.assert_allclose(l1, l2, rtol=1e-5)
+    l1, g1 = jax.value_and_grad(
+        lambda p: cdae_loss(module, p, key, latent, ctx, std))(params)
+    l2, g2 = jax.value_and_grad(
+        lambda p: fused_cdae_dsm_grad_loss2(module, p, key, latent, ctx, std,
+                                            interpret=True,
+                                            compute_dtype="float32",
+                                            tile=32))(params)
+    np.testing.assert_allclose(float(l1), float(l2), rtol=1e-5)
+    flat2 = {jax.tree_util.keystr(kp): v
+             for kp, v in jax.tree_util.tree_leaves_with_path(g2)}
+    for kp, v1 in jax.tree_util.tree_leaves_with_path(g1):
+        k = jax.tree_util.keystr(kp)
+        np.testing.assert_allclose(np.asarray(v1), np.asarray(flat2[k]),
+                                   rtol=5e-4, atol=1e-6, err_msg=k)
 
 
 def test_supports_fused_grad2_predicate():
