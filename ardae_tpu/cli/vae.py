@@ -64,6 +64,10 @@ def build_parser():
     p.add_argument("--max-iters", type=int, default=None)
     p.add_argument("--dp-devices", type=int, default=0,
                    help="data-parallel device count over a 1-D mesh (0 = off)")
+    p.add_argument("--model-compute-dtype", default="float32",
+                   choices=["float32", "bfloat16"],
+                   help="TPU extension: run encoder/decoder matmuls in bf16 "
+                        "(fp32 master params, sampling and loss reductions)")
     return p
 
 
@@ -214,8 +218,12 @@ def main(argv=None):
                     jax.random.fold_in(k, 7), batch).astype(jnp.float32)
             beta = beta_fn(state.step)
 
+            cdt = (None if opt.model_compute_dtype == "float32"
+                   else opt.model_compute_dtype)
+
             def loss_f(p):
-                loss, terms = loss_fn(model, p, k, batch, beta=beta)
+                loss, terms = loss_fn(model, p, k, batch, beta=beta,
+                                      compute_dtype=cdt)
                 return scale * loss, terms
 
             (loss, terms), grads = jax.value_and_grad(loss_f, has_aux=True)(

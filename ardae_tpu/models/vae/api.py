@@ -30,11 +30,30 @@ def _recon(module, dist_params, target_flat):
     )
 
 
-def vae_loss(module, params, key, x, beta=1.0):
-    """mean(recon + beta * KLD). Returns (loss, terms)."""
-    mu_z, logvar_z = module.apply(params, x, method=module.encode_params)
+def vae_loss(module, params, key, x, beta=1.0, compute_dtype=None):
+    """mean(recon + beta * KLD). Returns (loss, terms).
+
+    ``compute_dtype='bfloat16'`` runs encoder/decoder matmuls in bf16 (params
+    cast inside, fp32 master params receive fp32 grads through the cast's
+    transpose); Gaussian sampling and the loss reductions stay fp32 — the
+    same recipe as models/ivae/api.ivae_loss."""
+    if compute_dtype is not None:
+        cd = jnp.dtype(compute_dtype)
+        params_c = jax.tree.map(
+            lambda a: a.astype(cd) if a.dtype == jnp.float32 else a, params
+        )
+        x_c = x.astype(cd)
+    else:
+        cd = None
+        params_c, x_c = params, x
+    mu_z, logvar_z = module.apply(params_c, x_c, method=module.encode_params)
+    mu_z = mu_z.astype(jnp.float32)
+    logvar_z = logvar_z.astype(jnp.float32)
     z = sample_gaussian(key, mu_z, logvar_z)
-    dist_params = module.apply(params, z, method=module.decode_params)
+    dist_params = module.apply(
+        params_c, z.astype(x_c.dtype), method=module.decode_params
+    )
+    dist_params = jax.tree.map(lambda d: d.astype(jnp.float32), dist_params)
     recon = _recon(module, dist_params, x)
     kld = loss_kld_gaussian(mu_z, logvar_z, reduce="per_item")
     loss = jnp.mean(recon + beta * kld)

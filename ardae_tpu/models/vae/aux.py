@@ -297,17 +297,36 @@ def _recon(module, dist_params, target_flat):
     )
 
 
-def aux_vae_loss(module, params, key, x, beta=1.0):
+def aux_vae_loss(module, params, key, x, beta=1.0, compute_dtype=None):
     """recon + beta*KL(q(z)) + beta*KL(q(z0)||r(z0|x,z))
-    (reference models/vae/auxmnist.py:313-361)."""
+    (reference models/vae/auxmnist.py:313-361).
+
+    ``compute_dtype='bfloat16'``: tower/decoder matmuls in bf16, Gaussian
+    sampling and loss reductions fp32 (same recipe as vae_loss)."""
+    if compute_dtype is not None:
+        cd = jnp.dtype(compute_dtype)
+        params_c = jax.tree.map(
+            lambda a: a.astype(cd) if a.dtype == jnp.float32 else a, params
+        )
+        x_c = x.astype(cd)
+    else:
+        params_c, x_c = params, x
+    f32 = lambda t: t.astype(jnp.float32)
     k0, k1 = jax.random.split(key)
-    feats = module.apply(params, x, method=module.trunk_feats)
-    mu0, lv0 = module.apply(params, feats, method=module.aux_params)
+    feats = module.apply(params_c, x_c, method=module.trunk_feats)
+    mu0, lv0 = module.apply(params_c, feats, method=module.aux_params)
+    mu0, lv0 = f32(mu0), f32(lv0)
     z0 = sample_gaussian(k0, mu0, lv0)
-    mu, lv = module.apply(params, feats, z0, method=module.main_params)
+    mu, lv = module.apply(params_c, feats, z0.astype(x_c.dtype),
+                          method=module.main_params)
+    mu, lv = f32(mu), f32(lv)
     z = sample_gaussian(k1, mu, lv)
-    mup0, lvp0 = module.apply(params, feats, z, method=module.auxdec_params)
-    dist_params = module.apply(params, z, method=module.decode_params)
+    mup0, lvp0 = module.apply(params_c, feats, z.astype(x_c.dtype),
+                              method=module.auxdec_params)
+    mup0, lvp0 = f32(mup0), f32(lvp0)
+    dist_params = module.apply(params_c, z.astype(x_c.dtype),
+                               method=module.decode_params)
+    dist_params = jax.tree.map(f32, dist_params)
 
     recon = _recon(module, dist_params, x)
     kld = loss_kld_gaussian(mu, lv, reduce="per_item")

@@ -334,3 +334,35 @@ def test_ivae_cli_no_cuda_runs_on_host(tmp_path):
     import jax
 
     assert jax.default_backend() == "cpu"
+
+
+@pytest.mark.slow
+def test_vae_cli_bf16_mixed_precision(tmp_path):
+    """--model-compute-dtype bfloat16 in the baseline driver: short runs of a
+    flat (toy) and a hierarchical (auxmnist) model must train with finite
+    losses (bf16 matmuls, fp32 sampling + reductions)."""
+    args = (
+        "--dataset 25gaussians --nheight 1 --nchannels 2 --model toy "
+        "--model-z-dim 2 --model-h-dim 16 --model-n-layers 2 "
+        "--model-nonlin softplus --train-batch-size 64 --optimizer adam "
+        "--beta1 0.5 --lr 0.001 --epochs 2 --eval-iws-interval 0 "
+        "--iws-samples 8 --log-interval 10 --vis-interval 100000 "
+        "--ckpt-interval 1000 --toy-train-size 2000 --max-iters 20 "
+        "--model-compute-dtype bfloat16"
+    ).split() + ["--cache", str(tmp_path), "--data-root", str(tmp_path / "d")]
+    assert vae_main(args) == 0
+    dirs = [d for d in glob.glob(str(tmp_path / "vae-*")) if os.path.isdir(d)]
+    log = open(os.path.join(dirs[0], "log.txt")).read()
+    assert "| iter 20 " in log and "nan" not in log.lower().split("elbo")[-1]
+
+    args2 = (
+        "--dataset dbmnist --nheight 28 --nchannels 1 --model auxmnist "
+        "--model-z-dim 4 --model-h-dim 16 --model-n-layers 2 "
+        "--model-nonlin softplus --model-n-dim 4 --train-batch-size 16 "
+        "--optimizer adam --beta1 0.5 --lr 0.001 --epochs 1 "
+        "--eval-iws-interval 0 --iws-samples 8 --log-interval 5 "
+        "--vis-interval 100000 --ckpt-interval 1000 --max-iters 10 "
+        "--model-compute-dtype bfloat16"
+    ).split() + ["--cache", str(tmp_path / "m"), "--data-root",
+                 str(tmp_path / "d2")]
+    assert vae_main(args2) == 0
