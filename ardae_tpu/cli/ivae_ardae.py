@@ -19,6 +19,7 @@ interleaved pull-by-pull.
 """
 
 import argparse
+import contextlib
 import sys
 import time
 
@@ -122,6 +123,12 @@ def build_parser():
                    help="data-parallel device count: shard batches over a "
                         "1-D jax.sharding mesh, params replicated, gradient "
                         "all-reduce inserted by XLA over ICI (0 = off)")
+    p.add_argument("--sp-devices", type=int, default=0,
+                   help="sample-parallel device count: shard the nz_cdae "
+                        "sample axis (this workload's long-context analogue, "
+                        "SURVEY.md 5) over the second axis of a 2-D "
+                        "(data, sample) mesh; composes with --dp-devices "
+                        "(0 = off)")
     p.add_argument("--profile-dir", default=None,
                    help="capture a jax.profiler trace of one post-warmup "
                         "chunk into this directory (tensorboard-viewable)")
@@ -312,6 +319,7 @@ def main(argv=None):
         cdae_compute_dtype=opt.cdae_compute_dtype,
         model_compute_dtype=opt.model_compute_dtype,
         use_pallas=opt.use_pallas,
+        shard_samples=bool(opt.sp_devices and opt.sp_devices > 1),
     )
 
     def beta_fn(step):
@@ -337,28 +345,41 @@ def main(argv=None):
     # batch axis, so the device-side gather lands each shard's rows locally;
     # the replicated params make XLA psum the grads over ICI.
     mesh = None
-    if opt.dp_devices and opt.dp_devices > 1:
+    dp = opt.dp_devices if opt.dp_devices and opt.dp_devices > 1 else 0
+    sp = opt.sp_devices if opt.sp_devices and opt.sp_devices > 1 else 0
+    if dp or sp:
         from jax.sharding import NamedSharding, PartitionSpec as P
 
-        from ardae_tpu.parallel.mesh import make_mesh
+        from ardae_tpu.parallel.mesh import make_mesh, sample_parallel_mesh
         from ardae_tpu.parallel.mesh import replicated as replicated_sharding
 
-        if bs % opt.dp_devices:
+        n_dp = dp or 1
+        if bs % n_dp:
             raise SystemExit(
                 f"--train-batch-size {bs} not divisible by "
                 f"--dp-devices {opt.dp_devices}")
-        if len(jax.devices()) < opt.dp_devices:
+        if sp and opt.train_nz_cdae % sp:
             raise SystemExit(
-                f"--dp-devices {opt.dp_devices} but only "
-                f"{len(jax.devices())} devices are available")
-        mesh = make_mesh(opt.dp_devices)
+                f"--train-nz-cdae {opt.train_nz_cdae} not divisible by "
+                f"--sp-devices {sp}")
+        if len(jax.devices()) < n_dp * (sp or 1):
+            raise SystemExit(
+                f"mesh needs {n_dp * (sp or 1)} devices but only "
+                f"{len(jax.devices())} are available")
+        if sp:
+            # 2-D (data, sample): batch rows over "data", the nz_cdae sample
+            # axis over "sample" (constraints inside train/step.py)
+            mesh = sample_parallel_mesh(n_dp, sp)
+        else:
+            mesh = make_mesh(n_dp)
         repl = replicated_sharding(mesh)
         state = jax.device_put(state, repl)
         data_dev = jax.device_put(data_dev, repl)
         cidx_sharding = NamedSharding(mesh, P(None, None, "data"))
         midx_sharding = NamedSharding(mesh, P(None, "data"))
-        logging(f"data-parallel mesh over {opt.dp_devices} "
-                f"{jax.devices()[0].platform} devices", path=opt.path)
+        logging(f"{'(data, sample)' if sp else 'data-parallel'} mesh over "
+                f"{n_dp * (sp or 1)} {jax.devices()[0].platform} devices"
+                + (f" (dp={n_dp}, sp={sp})" if sp else ""), path=opt.path)
 
     eval_params = lambda s: (s.avg_params_model
                              if opt.m_weight_avg != "none" else s.params_model)
@@ -491,8 +512,9 @@ def main(argv=None):
             if mesh is not None:
                 ci = jax.device_put(ci, cidx_sharding)
                 mi = jax.device_put(mi, midx_sharding)
-            state, metrics = chunk_fn(state, data_dev, ci, mi, k_train, 1.0,
-                                      binarize=binarize)
+            with (mesh if mesh is not None else contextlib.nullcontext()):
+                state, metrics = chunk_fn(state, data_dev, ci, mi, k_train,
+                                          1.0, binarize=binarize)
             if profiling:
                 jax.device_get(metrics["model_loss"])
                 jax.profiler.stop_trace()

@@ -66,6 +66,24 @@ class StepConfig:
     weight_avg: str = "none"  # none | polyak | swa
     weight_avg_start: int = 1000
     weight_avg_decay: float = 0.998
+    # Sample parallelism (SURVEY.md 5): the nz_cdae sample axis is this
+    # workload's analogue of a long sequence axis. When True, the phase-A
+    # (bsz, nz, zdim) latent/noise tensors carry sharding constraints over a
+    # 2-D ("data", "sample") mesh — the sigma statistics (std over nz) and
+    # the DSM mean become XLA cross-device reductions over ICI. The jitted
+    # step must then run under `with mesh:` (parallel.mesh.sample_parallel_mesh).
+    shard_samples: bool = False
+
+
+def _sp_constrain(t, cfg: StepConfig):
+    """Pin a (bsz, nz, ...) tensor's layout to the ("data", "sample") mesh
+    axes when sample parallelism is on (no-op otherwise)."""
+    if not cfg.shard_samples:
+        return t
+    from jax.sharding import PartitionSpec as P
+
+    spec = P("data", "sample", *([None] * (t.ndim - 2)))
+    return jax.lax.with_sharding_constraint(t, spec)
 
 
 def compute_context(model, params_model, x, ctx_type: str):
@@ -100,6 +118,7 @@ def _sigma_stats(model, params_model, key, x, cfg: StepConfig):
         params_c, x_c = params_model, x
     latent_mean = ivae_api.encode_det(model, params_c, x_c)  # (B,1,z)
     latent = ivae_api.sample_latents(model, params_c, key, x_c, cfg.train_nz_cdae)
+    latent = _sp_constrain(latent, cfg)
     latent = stop_grad(latent).astype(jnp.float32)
     latent_mean = stop_grad(latent_mean).astype(jnp.float32)
     lsm = cfg.std_scale * (latent - latent_mean)  # (B,nz,z)
@@ -119,6 +138,7 @@ def cdae_update(model, cdae, opt_d, cfg: StepConfig, params_model, params_cdae,
 
     ns = cfg.train_nz_cdae * cfg.train_nstd_cdae
     stdmat = sigma * jax.random.normal(k_std, (bsz, ns, 1))  # sigma~N(0, sigma_i^2)
+    stdmat = _sp_constrain(stdmat, cfg)
 
     # expand the nz samples across nstd (reference :764-767); identity when
     # nstd == 1 (avoids a materializing broadcast+reshape copy)
@@ -129,6 +149,7 @@ def cdae_update(model, cdae, opt_d, cfg: StepConfig, params_model, params_cdae,
         lsm_exp = jnp.broadcast_to(
             lsm[:, :, None, :], (bsz, cfg.train_nz_cdae, cfg.train_nstd_cdae, zdim)
         ).reshape(bsz, ns, zdim)
+    lsm_exp = _sp_constrain(lsm_exp, cfg)
 
     from ardae_tpu.ops.fused_dsm import fused_cdae_dsm_loss, supports_fused_dsm
 

@@ -366,3 +366,28 @@ def test_vae_cli_bf16_mixed_precision(tmp_path):
     ).split() + ["--cache", str(tmp_path / "m"), "--data-root",
                  str(tmp_path / "d2")]
     assert vae_main(args2) == 0
+
+
+def test_ivae_cli_sample_parallel_mesh(tmp_path):
+    """--dp-devices 2 --sp-devices 4: 2-D (data, sample) mesh — batch rows
+    over "data", the nz_cdae sample axis over "sample". Trajectory must
+    match the single-device run (same noise; only reduction order differs)."""
+    import re as _re
+
+    def run(tag, extra):
+        args = CANONICAL_25G + ["--cache", str(tmp_path / tag), "--exp-num", "22",
+                                "--data-root", str(tmp_path / "data"),
+                                "--max-iters", "20"] + extra
+        assert ivae_main(args) == 0
+        exp = [d for d in glob.glob(str(tmp_path / tag / "*"))
+               if os.path.isdir(d)][0]
+        log = open(os.path.join(exp, "log.txt")).read()
+        m = _re.findall(r"loss \(vae\) ([-\d.]+)", log)
+        return log, [float(v) for v in m]
+
+    log_sp, losses_sp = run("sp", ["--dp-devices", "2", "--sp-devices", "4"])
+    assert "(data, sample) mesh over 8" in log_sp
+    _, losses_1 = run("single", [])
+    assert len(losses_sp) == len(losses_1) == 2
+    for a, b in zip(losses_sp, losses_1):
+        assert abs(a - b) < 0.05 * (1 + abs(b)), (losses_sp, losses_1)

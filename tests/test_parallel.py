@@ -101,3 +101,39 @@ def test_sharded_matches_single_device(setup):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=2e-4, atol=2e-6)
     assert abs(float(m_single["model_loss"]) - float(m_shard["model_loss"])) < 1e-3
+
+
+def test_full_step_sample_parallel_matches_single_device(setup):
+    """FULL joint step over a 2-D (data=2, sample=4) mesh with
+    cfg.shard_samples: the nz_cdae latent/noise tensors are sharded over the
+    sample axis (sigma stats and the DSM mean become cross-device
+    reductions), and the resulting parameter trajectory must match the
+    unsharded step."""
+    from ardae_tpu.parallel.mesh import sample_parallel_mesh
+
+    model, cdae, state, step, x = setup
+    st_single, m_single = step(state, x[None], x, KEY, 1.0)
+
+    cfg_sp = StepConfig(std_scale=10.0, delta=0.1, num_cdae_updates=1,
+                        train_nz_cdae=8, train_nz_model=2, ctx_type="data",
+                        shard_samples=True)
+    opt_m = build_optimizer("adam", 1e-3, beta1=0.5)
+    opt_d = build_optimizer("rmsprop", 1e-3, momentum=0.5)
+    step_sp = build_train_step(model, cdae, opt_m, opt_d, cfg_sp)
+
+    mesh = sample_parallel_mesh(2, 4)
+    xs = jax.device_put(x, NamedSharding(mesh, P("data")))
+    cb = jax.device_put(x[None], NamedSharding(mesh, P(None, "data")))
+    st = jax.device_put(state, NamedSharding(mesh, P()))
+    with mesh:
+        st_sp, m_sp = step_sp(st, cb, xs, KEY, 1.0)
+
+    for a, b in zip(jax.tree.leaves(st_single.params_model),
+                    jax.tree.leaves(st_sp.params_model)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=2e-6)
+    for a, b in zip(jax.tree.leaves(st_single.params_cdae),
+                    jax.tree.leaves(st_sp.params_cdae)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=2e-6)
+    assert abs(float(m_single["cdae_loss"]) - float(m_sp["cdae_loss"])) < 1e-4
