@@ -527,6 +527,18 @@ def main(argv=None):
 
             if i_ep % opt.log_interval == 0:
                 m = {kk: float(v[-1]) for kk, v in metrics.items()}
+                if not all(np.isfinite(v) for v in m.values()):
+                    # failure detection the reference lacks (SURVEY.md 5):
+                    # a collapsed posterior (sigma -> 0) can blow up the
+                    # score net and NaN the whole state — training on NaN
+                    # params is pure waste. Halt; the post-training eval
+                    # below reloads the best (finite) checkpoint.
+                    logging("| NaN/Inf training metrics at iter "
+                            f"{i_ep} — halting training early (best "
+                            "checkpoint preserved; final eval reloads it): "
+                            + ", ".join(f"{kk}={vv}" for kk, vv in m.items()),
+                            path=opt.path)
+                    break
                 beta = float(beta_fn(i_ep - 1))
                 elapsed = time.time() - start_time
                 logging(

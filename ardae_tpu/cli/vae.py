@@ -389,6 +389,15 @@ def main(argv=None):
 
             if i_ep % opt.log_interval == 0:
                 m = {kk: float(v[-1]) for kk, v in metrics.items()}
+                if not all(np.isfinite(v) for v in m.values()):
+                    # failure detection (SURVEY.md 5): halt instead of
+                    # training on NaN params; final eval reloads best ckpt
+                    logging("| NaN/Inf training metrics at iter "
+                            f"{i_ep} — halting training early (best "
+                            "checkpoint preserved; final eval reloads it): "
+                            + ", ".join(f"{kk}={vv}" for kk, vv in m.items()),
+                            path=opt.path)
+                    break
                 beta = float(beta_fn(i_ep - 1))
                 elapsed = time.time() - start_time
                 elbo = -(m["recon_loss"] + m["kld_loss"])

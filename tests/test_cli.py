@@ -391,3 +391,38 @@ def test_ivae_cli_sample_parallel_mesh(tmp_path):
     assert len(losses_sp) == len(losses_1) == 2
     for a, b in zip(losses_sp, losses_1):
         assert abs(a - b) < 0.05 * (1 + abs(b)), (losses_sp, losses_1)
+
+
+def test_ivae_cli_nan_halt(tmp_path, monkeypatch):
+    """Failure detection (SURVEY.md 5, absent in the reference): if training
+    metrics go NaN, the driver halts instead of training on NaN params, and
+    the post-training eval still runs from the best checkpoint."""
+    import ardae_tpu.train.step as step_mod
+
+    real_build = step_mod.build_train_chunk
+
+    def poisoned_build(model, cdae, opt_m, opt_d, cfg, beta_fn=None):
+        real_chunk = real_build(model, cdae, opt_m, opt_d, cfg, beta_fn=beta_fn)
+
+        def chunk(state, data, ci, mi, key, beta0, binarize=False):
+            import jax.numpy as jnp
+
+            new_state, metrics = real_chunk(state, data, ci, mi, key, beta0,
+                                            binarize=binarize)
+            # poison everything after iteration 10
+            poison = jnp.where(new_state.step > 10, jnp.nan, 0.0)
+            metrics = {k: v + poison for k, v in metrics.items()}
+            return new_state, metrics
+
+        return chunk
+
+    monkeypatch.setattr(step_mod, "build_train_chunk", poisoned_build)
+    args = CANONICAL_25G + ["--cache", str(tmp_path), "--exp-num", "31",
+                            "--data-root", str(tmp_path / "data"),
+                            "--max-iters", "40"]
+    assert ivae_main(args) == 0
+    exp = [d for d in glob.glob(str(tmp_path / "*"))
+           if os.path.isdir(d) and "data" not in os.path.basename(d)][0]
+    log = open(os.path.join(exp, "log.txt")).read()
+    assert "halting training early" in log
+    assert "| iter 40 " not in log  # did NOT keep training to the cap

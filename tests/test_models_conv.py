@@ -62,3 +62,32 @@ def test_resconv_decoder_output_28():
     assert logit.shape == (1, 784)
     # m5bias shifts logits strongly negative on average
     assert float(jnp.mean(logit)) < -1.0
+
+
+def test_every_toy_encoder_fusion_trains_one_step():
+    """All 13 toy encoder fusion variants (reference models/ivae/toy.py:111-791
+    dispatch): init, implicit sampling shape law, finite ivae loss + grads."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from ardae_tpu.models.ivae import api as ivae_api
+    from ardae_tpu.models.ivae.toy import ENC_TYPES, ToyIPVAE
+
+    key = jax.random.PRNGKey(0)
+    x = jax.random.normal(key, (8, 2))
+    for et in ENC_TYPES:
+        model = ToyIPVAE(input_dim=2, noise_dim=2, h_dim=8, z_dim=2,
+                         nonlinearity="tanh", num_hidden_layers=2, enc_type=et)
+        params = model.init(key, x, jnp.zeros((8, 2)))
+        z = ivae_api.sample_latents(model, params, key, x, nz=5)
+        assert z.shape == (8, 5, 2), et
+
+        def loss_f(p):
+            loss, _ = ivae_api.ivae_loss(model, p, key, x, nz=3, beta=1.0)
+            return loss
+
+        loss, grads = jax.value_and_grad(loss_f)(params)
+        assert np.isfinite(float(loss)), et
+        gnorm = sum(float(jnp.sum(g * g)) for g in jax.tree.leaves(grads))
+        assert np.isfinite(gnorm) and gnorm > 0, et
