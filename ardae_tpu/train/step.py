@@ -124,7 +124,11 @@ def _sigma_stats(model, params_model, key, x, cfg: StepConfig):
     lsm = cfg.std_scale * (latent - latent_mean)  # (B,nz,z)
     std_qz = jnp.std(lsm, axis=1, keepdims=True, ddof=1)  # (B,1,z), unbiased
     sigma = cfg.delta * jnp.mean(std_qz, axis=2, keepdims=True)  # (B,1,1)
-    return lsm, sigma
+    # latent_mean doubles as the lt0 context (the reference uses ONE
+    # model.encode(x, std=0) tensor for both, ivae_ardae.py:735+748);
+    # params_c/x_c let hidden1a reuse the same compute-dtype recipe without
+    # a second, different-precision trunk pass.
+    return lsm, sigma, latent_mean, params_c, x_c
 
 
 def cdae_update(model, cdae, opt_d, cfg: StepConfig, params_model, params_cdae,
@@ -133,8 +137,19 @@ def cdae_update(model, cdae, opt_d, cfg: StepConfig, params_model, params_cdae,
     bsz = x.shape[0]
     k_lat, k_std, k_noise = jax.random.split(key, 3)
 
-    ctx = compute_context(model, params_model, x, cfg.ctx_type)
-    lsm, sigma = _sigma_stats(model, params_model, k_lat, x, cfg)
+    lsm, sigma, latent_mean, params_c, x_c = _sigma_stats(
+        model, params_model, k_lat, x, cfg)
+    if cfg.ctx_type == "lt0":
+        # same tensor as latent_mean (reference ivae_ardae.py:735+748) —
+        # avoids recomputing the deterministic encoding in a different
+        # precision from the sigma-stats pass
+        ctx = latent_mean.reshape(bsz, -1)
+    elif cfg.ctx_type == "hidden1a":
+        ctx = stop_grad(
+            ivae_api.encode_hidden_feats(model, params_c, x_c)
+        ).astype(jnp.float32)
+    else:
+        ctx = compute_context(model, params_model, x, cfg.ctx_type)
 
     ns = cfg.train_nz_cdae * cfg.train_nstd_cdae
     stdmat = sigma * jax.random.normal(k_std, (bsz, ns, 1))  # sigma~N(0, sigma_i^2)
