@@ -120,9 +120,11 @@ class CARDAE(nn.Module):
             n = x.shape[0]
             bsz = ctx_l0.shape[0]
             nz = n // bsz
-            h = h + jnp.broadcast_to(
-                ctx_l0[:, None, :], (bsz, nz, self.h_dim)
-            ).reshape(n, self.h_dim)
+            # broadcast INSIDE the add between two bitcast reshapes — a
+            # broadcast_to(...).reshape(n, h) materializes an (n, h) copy
+            # (measured ~1 ms/step at canonical flagship shapes, profiler)
+            h = (h.reshape(bsz, nz, self.h_dim) + ctx_l0[:, None, :]).reshape(
+                n, self.h_dim)
         h = get_nonlinear_func(self.nonlinearity)(h)
         return self.trunk_rest(h)
 

@@ -74,7 +74,10 @@ class ResConvIPVAE(nn.Module):
         return self.trunk(x)
 
     def encode_all(self, inp, nos):
-        h = jnp.concatenate([inp, nos], axis=1)
+        return self.encode_cat(jnp.concatenate([inp, nos], axis=1))
+
+    def encode_cat(self, h):
+        """fc over already-concatenated [trunk-ctx, noise] rows."""
         if self.enc_type.endswith("-lin"):
             return self.fc_lin(self.fc_res(h))
         return self.fc(h)
@@ -83,8 +86,14 @@ class ResConvIPVAE(nn.Module):
         bsz = x.shape[0]
         nz = eps.shape[0] // bsz
         inp = self.encode_inp(x)
-        inp = jnp.broadcast_to(inp[:, None, :], (bsz, nz, inp.shape[-1]))
-        z = self.encode_all(inp.reshape(bsz * nz, -1), eps)
+        # concat in 3-D so the per-item->per-sample broadcast fuses into the
+        # concat fill and the flatten is a bitcast (broadcast_to().reshape()
+        # materializes an extra (bsz*nz, c) copy — profiler)
+        h = jnp.concatenate(
+            [jnp.broadcast_to(inp[:, None, :], (bsz, nz, inp.shape[-1])),
+             eps.reshape(bsz, nz, -1)], axis=-1
+        ).reshape(bsz * nz, -1)
+        z = self.encode_cat(h)
         return z.reshape(bsz, nz, self.z_dim)
 
     def decode_params(self, z_flat):
