@@ -22,6 +22,22 @@ def _ckpt_dir(path: str, filename: str) -> str:
     return os.path.abspath(os.path.join(path, filename))
 
 
+def _restore_local(ckptr, target: str):
+    """Restore a checkpoint onto the CURRENT default device, ignoring the
+    recorded shardings. Without this, a checkpoint saved on TPU cannot be
+    read in a CPU process (orbax replays the stored device sharding and
+    fails with 'Device TPU v5 lite0 was not found') — the torch reference's
+    checkpoints are device-agnostic via map_location; so are ours now."""
+    from jax.sharding import SingleDeviceSharding
+
+    md = ckptr.metadata(target).item_metadata
+    sh = SingleDeviceSharding(jax.devices()[0])
+    abstract = jax.tree.map(
+        lambda m: jax.ShapeDtypeStruct(m.shape, m.dtype, sharding=sh), md
+    )
+    return ckptr.restore(target, abstract)
+
+
 def save_checkpoint(state, meta: dict, path: str, filename: str = "checkpoint"):
     """Save TrainState + metadata. Overwrites any existing checkpoint.
 
@@ -52,7 +68,7 @@ def load_checkpoint(abstract_state, path: str, filename: str = "checkpoint"):
         print(f"=> no checkpoint found at '{target}'")
         return None
     ckptr = ocp.StandardCheckpointer()
-    restored = ckptr.restore(target)
+    restored = _restore_local(ckptr, target)
     leaves_dict = restored["leaves"]
     leaves = [jax.numpy.asarray(leaves_dict[f"leaf_{i}"])
               for i in range(len(leaves_dict))]
@@ -71,7 +87,7 @@ def load_end_iter(path: str, filename: str = "best-checkpoint") -> int:
     if not os.path.exists(target):
         raise ValueError(f"=> no checkpoint found at '{target}'")
     ckptr = ocp.StandardCheckpointer()
-    restored = ckptr.restore(target)
+    restored = _restore_local(ckptr, target)
     meta = restored["meta"]
     i_ep = (int(meta["epoch"]) - 1) * int(meta["train_num_iters_per_epoch"]) + int(
         meta["batch_idx"]
