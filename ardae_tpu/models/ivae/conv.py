@@ -62,9 +62,8 @@ class ConvIPVAE(nn.Module):
         bsz = x.shape[0]
         nz = eps.shape[0] // bsz
         h_inp = self.fc4_inp(self.encode_inp(x))  # (bsz, 800), once per item
-        # broadcast inside the add (bitcast reshapes), not broadcast_to+reshape
-        h4 = afun((self.fc4_eps(eps).reshape(bsz, nz, 800)
-                   + h_inp[:, None, :]).reshape(bsz * nz, 800))
+        h_inp = jnp.broadcast_to(h_inp[:, None, :], (bsz, nz, 800))
+        h4 = afun(h_inp.reshape(bsz * nz, 800) + self.fc4_eps(eps))
         z = self.fc5(h4)
         return z.reshape(bsz, nz, self.z_dim)
 

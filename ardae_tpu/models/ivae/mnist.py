@@ -70,10 +70,8 @@ class MNISTConcatEncoder(nn.Module):
         bsz = x.shape[0]
         nz = eps.shape[0] // bsz
         h_inp = self.fc_l0_inp(self.forward_inp(x))  # once per item
-        # broadcast inside the add (bitcast reshapes); broadcast_to+reshape
-        # would materialize an (bsz*nz, h) copy
-        h = afun((self.fc_l0_eps(eps).reshape(bsz, nz, self.h_dim)
-                  + h_inp[:, None, :]).reshape(bsz * nz, self.h_dim))
+        h_inp = jnp.broadcast_to(h_inp[:, None, :], (bsz, nz, self.h_dim))
+        h = afun(h_inp.reshape(bsz * nz, self.h_dim) + self.fc_l0_eps(eps))
         z = self.fc_out(h)
         return z.reshape(bsz, nz, self.z_dim)
 
