@@ -18,8 +18,9 @@ The ardae_tpu side is the CLI at IDENTICAL flags:
     --eval-iws-interval 3000
 
 Measured results (6000 steps, VALIDATION.md "reference parity"):
-reference -4.49; ardae_tpu seeds: -4.91 / -4.67 / ... — gap within the
-run-to-run spread. Also: the reference executes at ~1.5-1.8 s/step on this
+reference -4.49 (1 seed); ardae_tpu -4.59 / -4.67 / -4.68 / -4.91
+(4 seeds, mean -4.71) — the reference seed lands at the edge of our seed
+distribution (best seed within 0.10 nats). Also: the reference executes at ~1.5-1.8 s/step on this
 host CPU vs ~0.3 s/step for ardae_tpu's jitted chunk on the SAME CPU
 (like-for-like 5x), and ~24 ms/step-class throughput on one TPU chip for
 the full-size configs.
