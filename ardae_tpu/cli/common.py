@@ -108,8 +108,8 @@ def evaluate_iws_ivae(model, params, eval_data, iws_samples, key,
     """Mean IWS logprob over an eval split (reference ivae_ardae.py:644-673).
 
     The bound is per-item, so the grouping batch size does not change the
-    math — we use a throughput-friendly internal batch regardless of the
-    --eval-batch-size flag.
+    math — batch=None picks a throughput-friendly internal batch; an explicit
+    --eval-batch-size is honored verbatim.
     """
     import jax.numpy as jnp
 

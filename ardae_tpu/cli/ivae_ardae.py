@@ -62,7 +62,10 @@ def build_parser():
     p.add_argument("--d-lr-min", type=float, default=0.0001)
     p.add_argument("--epochs", type=int, default=30)
     p.add_argument("--train-batch-size", type=int, default=1024)
-    p.add_argument("--eval-batch-size", type=int, default=1024)
+    p.add_argument("--eval-batch-size", type=int, default=None,
+                   help="eval grouping batch (per-item bound, math-identical "
+                        "for any value); default: auto throughput-tuned "
+                        "(reference default 1024)")
     p.add_argument("--start-epoch", type=int, default=1)
     p.add_argument("--start-batch-idx", type=int, default=0)
     p.add_argument("--train-nz-cdae", type=int, default=1)
@@ -577,7 +580,7 @@ def main(argv=None):
                 logprob = evaluate_iws_ivae(
                     model, eval_params(state), splits["val"], opt.iws_samples,
                     jax.random.fold_in(k_eval, i_ep), binarize=binarize,
-                    jitter=jitter)
+                    jitter=jitter, batch=opt.eval_batch_size)
                 writer.add_scalar("val/logprob/iws/step", logprob, i_ep)
                 logging("-" * 89, path=opt.path)
                 logging("| val       | iter {:d} | epoch {:3d} | {:5d}/{:5d} "
@@ -649,7 +652,7 @@ def main(argv=None):
         logprob = evaluate_iws_ivae(
             model, eval_params(state), splits["test"], opt.iws_samples,
             jax.random.fold_in(k_eval, 999_983), binarize=binarize,
-            jitter=jitter)
+            jitter=jitter, batch=opt.eval_batch_size)
         writer.add_scalar("test/logprob/iws/step", logprob, 0)
         logging("-" * 89, path=opt.path)
         logging("| test       | sec/step {:5.2f} | logprob (iws) {:.4f} ".format(

@@ -30,7 +30,10 @@ def build_parser():
     p.add_argument("--lr", type=float, default=0.0001)
     p.add_argument("--epochs", type=int, default=32000)
     p.add_argument("--train-batch-size", type=int, default=64)
-    p.add_argument("--eval-batch-size", type=int, default=32)
+    p.add_argument("--eval-batch-size", type=int, default=None,
+                   help="eval grouping batch (per-item bound, math-identical "
+                        "for any value); default: auto throughput-tuned "
+                        "(reference default 32)")
     p.add_argument("--optimizer", default="adam",
                    choices=["sgd", "adam", "amsgrad", "rmsprop"])
     p.add_argument("--start-epoch", type=int, default=1)
@@ -423,7 +426,7 @@ def main(argv=None):
                 elbo, logprob = evaluate_iwae_vae(
                     model, eval_params(state), splits["val"], opt.iws_samples,
                     jax.random.fold_in(k_eval, i_ep), binarize=binarize,
-                    aux=is_aux)
+                    aux=is_aux, batch=opt.eval_batch_size)
                 writer.add_scalar("val/elbo/step", elbo, i_ep)
                 writer.add_scalar("val/logprob/iws/step", logprob, i_ep)
                 logging("-" * 89, path=opt.path)
@@ -488,7 +491,8 @@ def main(argv=None):
         t0 = time.time()
         elbo, logprob = evaluate_iwae_vae(
             model, eval_params(state), splits["test"], opt.iws_samples,
-            jax.random.fold_in(k_eval, 999_983), binarize=binarize, aux=is_aux)
+            jax.random.fold_in(k_eval, 999_983), binarize=binarize, aux=is_aux,
+            batch=opt.eval_batch_size)
         writer.add_scalar("test/elbo/step", elbo, 0)
         writer.add_scalar("test/logprob/iws/step", logprob, 0)
         logging("-" * 89, path=opt.path)

@@ -106,22 +106,34 @@ def _synthetic_mnist(n, seed):
 # ---------------------------------------------------------------------------
 
 def _load_mnist_arrays(root):
-    """(train_x, train_y, test_x, test_y, synthetic): real idx files if
-    present under {root}/MNIST/raw/, else the deterministic surrogate."""
+    """(train_x, train_y, test_x, test_y, synthetic, labels_fallback): real
+    idx files if present under {root}/MNIST/raw/, else the deterministic
+    surrogate. labels_fallback=True means images are real but label files
+    were missing/corrupt, so labels defaulted to zeros (warned)."""
     raw = os.path.join(root, "MNIST", "raw")
     tr_x = load_idx_images(os.path.join(raw, "train-images-idx3-ubyte"))
     te_x = load_idx_images(os.path.join(raw, "t10k-images-idx3-ubyte"))
     if tr_x is not None and te_x is not None:
         tr_y = load_idx_labels(os.path.join(raw, "train-labels-idx1-ubyte"))
         te_y = load_idx_labels(os.path.join(raw, "t10k-labels-idx1-ubyte"))
+        labels_fallback = tr_y is None or te_y is None
+        if labels_fallback:
+            # Label-dependent outputs (stacked MNIST, per-class panels, split
+            # label bookkeeping) would be silently wrong without a signal.
+            import warnings
+
+            warnings.warn(
+                f"MNIST label files missing or unreadable under {raw}; "
+                "labels default to all zeros (images are real). "
+                "info['labels_fallback'] is set.", stacklevel=2)
         if tr_y is None:
             tr_y = np.zeros(tr_x.shape[0], np.int64)
         if te_y is None:
             te_y = np.zeros(te_x.shape[0], np.int64)
-        return tr_x, tr_y, te_x, te_y, False
+        return tr_x, tr_y, te_x, te_y, False, labels_fallback
     tr_x, tr_y = _synthetic_mnist(_N_TRAIN, seed=1_000_001)
     te_x, te_y = _synthetic_mnist(_N_TEST, seed=1_000_003)
-    return tr_x, tr_y, te_x, te_y, True
+    return tr_x, tr_y, te_x, te_y, True, False
 
 
 def _load_sbmnist_arrays(root):
@@ -150,11 +162,14 @@ def _load_sbmnist_arrays(root):
 # ---------------------------------------------------------------------------
 
 def _resize_bilinear(x, out_size, in_size=28):
-    """[N, in²] → [N, out²] align-corners bilinear (reference mnist32 uses
-    torchvision transforms.Resize, datasets/mnist.py:69-72)."""
+    """[N, in²] → [N, out²] half-pixel-centers bilinear, matching the
+    reference mnist32 path (torchvision transforms.Resize ≡ bilinear with
+    align_corners=False, datasets/mnist.py:69-72); verified against
+    torch.nn.functional.interpolate in tests."""
     n = x.shape[0]
     imgs = x.reshape(n, in_size, in_size)
-    yi = np.linspace(0, in_size - 1, out_size)
+    scale = in_size / out_size
+    yi = np.clip((np.arange(out_size) + 0.5) * scale - 0.5, 0, in_size - 1)
     y0 = np.clip(yi.astype(np.int64), 0, in_size - 2)
     wy = (yi - y0).astype(np.float32)
     rows = (imgs[:, y0, :] * (1 - wy)[None, :, None]
@@ -202,7 +217,8 @@ def get_mnist(dataset, root="data", final_mode=False):
     image_size = 32 if dataset == "mnist32" else 28
     val_size = 5_000 if dataset == "dbmnist-val5k" else 10_000
 
-    tr_x, tr_y, te_x, te_y, synthetic = _load_mnist_arrays(root)
+    tr_x, tr_y, te_x, te_y, synthetic, labels_fallback = \
+        _load_mnist_arrays(root)
     if image_size != 28:
         tr_x = _resize_bilinear(tr_x, image_size)
         te_x = _resize_bilinear(te_x, image_size)
@@ -225,6 +241,7 @@ def get_mnist(dataset, root="data", final_mode=False):
             "binarize": binary,   # dynamic: re-drawn on device per fetch
             "center": center,     # consumer applies 2x-1 (models' do_center)
             "synthetic": synthetic,
+            "labels_fallback": labels_fallback,  # real images, zero labels
             "nclasses": 10,
             "image_size": image_size,
             "labels": {"train": train_y, "val": val_y, "test": te_y},

@@ -75,11 +75,14 @@ def load_amat(path, n_cols=None):
     if lib is None:  # toolchain missing: still correct, just slower
         flat = np.loadtxt(path, dtype=np.float32).reshape(-1)
     else:
-        count = lib.amat_parse(path.encode())
-        if count < 0:
-            raise OSError(f"cannot read amat file: {path}")
-        flat = np.empty(int(count), np.float32)
-        lib.amat_fetch(flat.ctypes.data_as(ctypes.POINTER(ctypes.c_float)))
+        # The C++ side stores parse results in a process-global buffer, so
+        # the parse+fetch pair must be atomic across threads.
+        with _lock:
+            count = lib.amat_parse(path.encode())
+            if count < 0:
+                raise OSError(f"cannot read amat file: {path}")
+            flat = np.empty(int(count), np.float32)
+            lib.amat_fetch(flat.ctypes.data_as(ctypes.POINTER(ctypes.c_float)))
     if flat.size % n_cols:
         raise ValueError(
             f"{path}: {flat.size} values not divisible by n_cols={n_cols}")

@@ -105,3 +105,32 @@ def test_mnist32_and_cmnist_dispatch(tmp_path):
     assert d32["info"]["binarize"] is False
     dc = get_dataset("cmnist", root=str(tmp_path))
     assert dc["info"]["center"] is True and dc["train"].shape[1] == 784
+
+
+def test_labels_fallback_flag_and_warning(tmp_path):
+    """Real idx image files + missing label files → zero labels with an
+    explicit warning and info['labels_fallback']=True (ADVICE r1)."""
+    import struct
+    import warnings
+
+    import numpy as np
+
+    from ardae_tpu.data.mnist import get_mnist
+
+    raw = tmp_path / "MNIST" / "raw"
+    raw.mkdir(parents=True)
+    rng = np.random.default_rng(0)
+    for name, n in (("train-images-idx3-ubyte", 64),
+                    ("t10k-images-idx3-ubyte", 32)):
+        payload = rng.integers(0, 256, (n, 28, 28), dtype=np.uint8)
+        with open(raw / name, "wb") as f:
+            f.write(struct.pack(">IIII", 2051, n, 28, 28))
+            f.write(payload.tobytes())
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        out = get_mnist("mnist", root=str(tmp_path))
+    assert out["info"]["labels_fallback"] is True
+    assert out["info"]["synthetic"] is False
+    assert any("label files missing" in str(x.message) for x in w)
+    labels = out["info"]["labels"]
+    assert (labels["test"] == 0).all()

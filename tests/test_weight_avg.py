@@ -68,3 +68,17 @@ def test_resize_bilinear_32():
     assert out.shape == (3, 1024)
     # mass approximately preserved under bilinear resize
     assert abs(out.mean() - x.mean()) < 0.05
+
+
+def test_resize_bilinear_matches_torch_half_pixel():
+    """mnist32 resize must follow the reference pipeline's convention:
+    torchvision Resize == bilinear with align_corners=False (ADVICE r1)."""
+    import torch
+    import torch.nn.functional as F
+
+    x = np.random.default_rng(3).random((5, 784)).astype(np.float32)
+    ours = _resize_bilinear(x, 32).reshape(5, 32, 32)
+    ref = F.interpolate(torch.from_numpy(x).reshape(5, 1, 28, 28),
+                        size=(32, 32), mode="bilinear",
+                        align_corners=False)[:, 0].numpy()
+    np.testing.assert_allclose(ours, ref, atol=1e-5)
