@@ -186,18 +186,28 @@ def cdae_score(module, params, latent, context, std):
     return score.reshape(bsz, ssz, zdim)
 
 
-def cdae_loss(module, params, key, latent, context, std, noise_type: str = "gaussian"):
+def cdae_loss(module, params, key, latent, context, std,
+              noise_type: str = "gaussian", compute_dtype=None):
     """Denoising score-matching loss: mse(sigma * score(x + sigma*eps), -eps).
 
     Matches reference resdae/mlp.py:344-381 / graddae/mlp.py:400-444
     (mse reduction = mean over every element). ``std`` is the per-sample
     noise level sigma (bsz, ssz, 1) — in training it is itself drawn as
     sigma_i * N(0,1) by the caller (ivae_ardae.py:761).
+
+    ``compute_dtype='bfloat16'`` runs the score network's matmuls in bf16
+    (params cast inside, so fp32 master params receive fp32 grads through
+    the cast's transpose) while the noise draw, the x + sigma*eps
+    perturbation, and the sigma*score + eps loss product/reduction stay
+    fp32. The fp32 loss product is what keeps the collapsed tiny-sigma
+    regime of aux-family configs finite under bf16 (VALIDATION.md
+    "precision attribution": the sigma collapse is a workload pathology in
+    both precisions, but the hard NaN was bf16-triggered underflow).
     """
     bsz, ssz, zdim = latent.shape
-    x = _flatten3(latent)
-    ctx = _ctx_l0(module, params, context)
-    stdv = jnp.broadcast_to(jnp.asarray(std, latent.dtype), (bsz, ssz, 1)).reshape(-1, 1)
+    x = _flatten3(latent).astype(jnp.float32)
+    stdv = jnp.broadcast_to(
+        jnp.asarray(std, jnp.float32), (bsz, ssz, 1)).reshape(-1, 1)
 
     if noise_type == "gaussian":
         eps = jax.random.normal(key, x.shape, x.dtype)
@@ -212,15 +222,28 @@ def cdae_loss(module, params, key, latent, context, std, noise_type: str = "gaus
     else:
         raise NotImplementedError(noise_type)
 
+    if compute_dtype is not None:
+        cd = jnp.dtype(compute_dtype)
+        params = jax.tree.map(
+            lambda a: a.astype(cd) if a.dtype == jnp.float32 else a, params)
+        x_bar_c, ctx_in, stdv_c = x_bar.astype(cd), context.astype(cd), \
+            stdv.astype(cd)
+    else:
+        x_bar_c, ctx_in, stdv_c = x_bar, context, stdv
+    ctx = _ctx_l0(module, params, ctx_in)
+
     if module.score_type == "res":
-        score = module.apply(params, x_bar, ctx, stdv, method=module.raw_score)
+        score = module.apply(params, x_bar_c, ctx, stdv_c,
+                             method=module.raw_score)
     else:
 
         def neg_energy_sum(xx):
-            return -jnp.sum(module.apply(params, xx, ctx, stdv, method=module.energy))
+            return -jnp.sum(
+                module.apply(params, xx, ctx, stdv_c, method=module.energy))
 
-        score = jax.grad(neg_energy_sum)(x_bar)
+        score = jax.grad(neg_energy_sum)(x_bar_c)
 
+    score = score.astype(jnp.float32)
     return jnp.mean((stdv * score + eps) ** 2)
 
 

@@ -182,15 +182,14 @@ def cdae_update(model, cdae, opt_d, cfg: StepConfig, params_model, params_cdae,
     def loss_fn(p):
         if use_fused:
             return fused_cdae_dsm_loss(cdae, p, k_noise, lsm_exp, ctx, stdmat)
-        if cfg.cdae_compute_dtype == "bfloat16":
-            # bf16 compute, fp32 master params: the cast is differentiable,
-            # so gradients come back fp32 through its transpose.
-            bf = jnp.bfloat16
-            pb = jax.tree.map(lambda a: a.astype(bf), p)
-            return cdae_loss(cdae, pb, k_noise, lsm_exp.astype(bf),
-                             ctx.astype(bf), stdmat.astype(bf),
-                             cfg.noise_type).astype(jnp.float32)
-        return cdae_loss(cdae, p, k_noise, lsm_exp, ctx, stdmat, cfg.noise_type)
+        # bf16 mode: matmuls in bf16 (params cast inside cdae_loss, fp32
+        # master grads through the cast's transpose); the noise draw, the
+        # perturbation, and the sigma*score+eps loss product stay fp32 so
+        # the collapsed tiny-sigma regime of aux configs cannot underflow.
+        return cdae_loss(
+            cdae, p, k_noise, lsm_exp, ctx, stdmat, cfg.noise_type,
+            compute_dtype="bfloat16"
+            if cfg.cdae_compute_dtype == "bfloat16" else None)
 
     loss, grads = jax.value_and_grad(loss_fn)(params_cdae)
     updates, opt_cdae_state = opt_d.update(grads, opt_cdae_state, params_cdae)
