@@ -258,6 +258,12 @@ def main(argv=None):
     splits = get_dataset(opt.dataset, root=opt.data_root, final_mode=final_mode,
                          toy_sizes=toy_sizes)
     info = splits["info"]
+    if info.get("synthetic"):
+        logging(f"dataset {opt.dataset}: SYNTHETIC surrogate (no real files "
+                f"under {opt.data_root})", path=opt.path)
+    elif "mnist" in opt.dataset:
+        logging(f"dataset {opt.dataset}: real files from {opt.data_root}",
+                path=opt.path)
     is_mnist = "mnist" in opt.dataset
     train_np = splits["train"]
     n_train = train_np.shape[0]
