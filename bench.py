@@ -1,21 +1,34 @@
-"""Benchmark: dbMNIST conv IVAE + AR-DAE joint-step throughput on one chip.
+"""Benchmark: joint-step throughput on one chip, with roofline context.
 
-The exact "implicit conv" configuration of the reference's canonical script
+Primary metric (unchanged across rounds for comparability): the exact
+"implicit conv" configuration of the reference's canonical script
 (run_vae_dbmnist.sh): mnist-conv (z=32, noise=100, softplus) + mlp-grad cdae
 (h=256, 5 layers, softplus), ctx lt0, bs=128, nz_cdae=625, nz_model=1,
-delta=0.1, std-scale=10000, adam(m)/rmsprop(d), dynamic binarization.
+delta=0.1, std-scale=10000, adam(m)/rmsprop(d), dynamic binarization, both
+phases bf16. One "step" = one full joint iteration (cdae phase over 128x625
+latent rows + model phase + both optimizer updates + on-device dynamic
+binarization), matching ivae_ardae.py:707-846.
 
-One "step" = one full joint iteration (cdae phase over 128x625 latent rows +
-model phase + both optimizer updates + on-device dynamic binarization of the
-two fresh batches), matching ivae_ardae.py:707-846.
+Additional rows (VERDICT r1 item 5): the flagship resconvct-res config
+(dbMNIST line 35 of run_vae_dbmnist.sh: h=512 mlp-res cdae, 2 cdae updates)
+and the baseline conv VAE driver step (vae.py:380-417). Every row reports
+n>=3 repeats with min/median/max so ambient drift (the 75-82 steps/s band,
+CLAUDE.md) is quantified in the artifact.
+
+Roofline fields (VERDICT r1 item 4): per-step FLOPs and bytes are taken
+from XLA's own cost analysis of the compiled executable
+(jit(...).lower().compile().cost_analysis()), so `mfu` = achieved/peak
+matmul throughput and `hbm_util` = achieved/peak HBM bandwidth are measured
+properties of the program actually run. Peaks: TPU v5e 197 TFLOP/s bf16,
+819 GB/s HBM (public chip specs, jax-ml.github.io/scaling-book).
 
 Baseline: the same two-phase step executed by the reference implementation
 (torch 2.x) on this host's CPU — the only hardware the reference can run on
-here; no GPU exists in this environment and the repo publishes no numbers
-(BASELINE.md). Measured via a minimal harness importing the reference's own
-models (see BASELINE.md "measured baselines" for the methodology).
+here (no GPU exists in this environment and the repo publishes no numbers;
+BASELINE.md "measured baselines" has the methodology).
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: primary {"metric", "value", "unit", "vs_baseline"}
+plus {"mfu", "hbm_util", "repeats_steps_per_sec", "rows"}.
 """
 
 import json
@@ -38,15 +51,74 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 10)
 
 # reference torch-CPU steps/sec for the identical config, measured on this
 # host (see BASELINE.md); override with ARDAE_BASELINE_STEPS_PER_SEC.
-REFERENCE_STEPS_PER_SEC = float(os.environ.get("ARDAE_BASELINE_STEPS_PER_SEC", "0.00664"))
+REFERENCE_STEPS_PER_SEC = float(
+    os.environ.get("ARDAE_BASELINE_STEPS_PER_SEC", "0.00664"))
+# torch-CPU baselines for the extra rows (BASELINE.md; 0 = not measured)
+REFERENCE_FLAGSHIP_STEPS_PER_SEC = float(
+    os.environ.get("ARDAE_BASELINE_FLAGSHIP", "0"))
+REFERENCE_VAE_STEPS_PER_SEC = float(
+    os.environ.get("ARDAE_BASELINE_VAE", "0"))
+
+PEAK_FLOPS_BF16 = 197e12  # TPU v5e
+PEAK_HBM_BYTES = 819e9
 
 CHUNK = 20
 WARM_CHUNKS = 1
 TIMED_CHUNKS = 3
+REPEATS = 3
+
+N_ROWS = 55000
 
 
-def main():
-    from ardae_tpu.models.registry import build_cdae, build_ivae_model, context_dim_for
+def _cost_per_step(jitted, steps_per_call, *args, **kwargs):
+    """(flops, bytes) per step from XLA's cost analysis; (0, 0) if absent."""
+    try:
+        cost = jitted.lower(*args, **kwargs).compile().cost_analysis()
+        if isinstance(cost, (list, tuple)):
+            cost = cost[0] if cost else {}
+        flops = float(cost.get("flops", 0.0))
+        nbytes = float(cost.get("bytes accessed", 0.0))
+        return flops / steps_per_call, nbytes / steps_per_call
+    except Exception:
+        return 0.0, 0.0
+
+
+def _time_repeats(run_once, sync, n_steps):
+    """repeats x (timed run of n_steps); returns steps/sec list."""
+    out = []
+    for r in range(REPEATS):
+        t0 = time.perf_counter()
+        handle = run_once(r)
+        sync(handle)
+        out.append(n_steps / (time.perf_counter() - t0))
+    return out
+
+
+def _row(label, reps, flops_step, bytes_step, baseline):
+    med = float(np.median(reps))
+    dt_step = 1.0 / med
+    return {
+        "label": label,
+        "steps_per_sec": round(med, 3),
+        "min": round(min(reps), 3),
+        "max": round(max(reps), 3),
+        "repeats": REPEATS,
+        "mfu": round(flops_step / dt_step / PEAK_FLOPS_BF16, 4)
+        if flops_step else None,
+        "hbm_util": round(bytes_step / dt_step / PEAK_HBM_BYTES, 4)
+        if bytes_step else None,
+        "flops_per_step": flops_step or None,
+        "bytes_per_step": bytes_step or None,
+        "vs_baseline": round(med / baseline, 1) if baseline else None,
+    }
+
+
+def bench_ivae(model_name, cdae_name, *, h_model, n_layers_model, nonlin_model,
+               h_cdae, n_layers_cdae, num_cdae_updates, std_scale, label,
+               baseline):
+    """Joint two-phase step for an IVAE+AR-DAE config, both phases bf16."""
+    from ardae_tpu.models.registry import (build_cdae, build_ivae_model,
+                                           context_dim_for)
     from ardae_tpu.train.optim import build_optimizer
     from ardae_tpu.train.state import create_train_state
     from ardae_tpu.train.step import StepConfig, build_train_chunk
@@ -54,20 +126,20 @@ def main():
     bs, nz_cdae, z_dim, n_dim = 128, 625, 32, 100
     key = jax.random.PRNGKey(0)
 
-    model = build_ivae_model("mnist-conv", nchannels=1, nheight=28,
-                             z_dim=z_dim, n_dim=n_dim, nonlin="softplus")
-    ctx_dim = context_dim_for("lt0", model_name="mnist-conv", nchannels=1,
-                              nheight=28, z_dim=z_dim, h_dim=0)
-    cdae = build_cdae("mlp-grad", input_dim=z_dim, context_dim=ctx_dim,
-                      h_dim=256, n_layers=5, nonlin="softplus")
+    model = build_ivae_model(model_name, nchannels=1, nheight=28, z_dim=z_dim,
+                             n_dim=n_dim, h_dim=h_model,
+                             n_layers=n_layers_model, nonlin=nonlin_model)
+    ctx_dim = context_dim_for("lt0", model_name=model_name, nchannels=1,
+                              nheight=28, z_dim=z_dim, h_dim=h_model)
+    cdae = build_cdae(cdae_name, input_dim=z_dim, context_dim=ctx_dim,
+                      h_dim=h_cdae, n_layers=n_layers_cdae, nonlin="softplus")
 
-    params_model = model.init(key, jnp.zeros((bs, 784)), jnp.zeros((bs, n_dim)))
+    eps0 = jnp.zeros((bs, n_dim))
+    params_model = model.init(key, jnp.zeros((bs, 784)), eps0)
     params_cdae = cdae.init(key, jnp.zeros((4, z_dim)), jnp.zeros((4, ctx_dim)),
                             jnp.zeros((4, 1)))
-    # bf16 compute in BOTH phases (fp32 master params + loss reductions):
-    # 1.7x on the grad-style DSM loss, training quality validated equivalent
-    # to fp32 at full canonical scale (VALIDATION.md / test suite)
-    cfg = StepConfig(std_scale=10000.0, delta=0.1, num_cdae_updates=1,
+    cfg = StepConfig(std_scale=std_scale, delta=0.1,
+                     num_cdae_updates=num_cdae_updates,
                      train_nz_cdae=nz_cdae, train_nz_model=1, ctx_type="lt0",
                      cdae_compute_dtype="bfloat16",
                      model_compute_dtype="bfloat16")
@@ -76,40 +148,139 @@ def main():
     state = create_train_state(params_model, opt_m, params_cdae, opt_d)
     chunk = build_train_chunk(model, cdae, opt_m, opt_d, cfg)
 
-    # synthetic gray MNIST-shaped training set resident in HBM
     data = jax.device_put(
-        jax.random.uniform(jax.random.PRNGKey(1), (55000, 784), jnp.float32)
-    )
+        jax.random.uniform(jax.random.PRNGKey(1), (N_ROWS, 784), jnp.float32))
 
     def make_indices(k):
         ks = jax.random.split(k, 2)
-        c_idx = jax.random.randint(ks[0], (CHUNK, cfg.num_cdae_updates, bs), 0, 55000)
-        m_idx = jax.random.randint(ks[1], (CHUNK, bs), 0, 55000)
+        c_idx = jax.random.randint(ks[0], (CHUNK, cfg.num_cdae_updates, bs),
+                                   0, N_ROWS)
+        m_idx = jax.random.randint(ks[1], (CHUNK, bs), 0, N_ROWS)
         return c_idx, m_idx
 
-    # warmup/compile
+    c_idx, m_idx = make_indices(key)
+    flops_step, bytes_step = _cost_per_step(
+        chunk, CHUNK, state, data, c_idx, m_idx, key, 1.0, binarize=True)
+
+    st = state
     for i in range(WARM_CHUNKS):
         c_idx, m_idx = make_indices(jax.random.fold_in(key, i))
-        state, metrics = chunk(state, data, c_idx, m_idx, key, 1.0, binarize=True)
-    jax.device_get(metrics["model_loss"])  # hard sync
+        st, metrics = chunk(st, data, c_idx, m_idx, key, 1.0, binarize=True)
+    jax.device_get(metrics["model_loss"])  # hard sync through the tunnel
 
-    t0 = time.perf_counter()
-    for i in range(TIMED_CHUNKS):
-        c_idx, m_idx = make_indices(jax.random.fold_in(key, 100 + i))
-        state, metrics = chunk(state, data, c_idx, m_idx, key, 1.0, binarize=True)
-    last_losses = jax.device_get(metrics["model_loss"])  # hard sync
-    dt = time.perf_counter() - t0
+    holder = {"st": st}
 
-    n_steps = TIMED_CHUNKS * CHUNK
-    steps_per_sec = n_steps / dt
-    last_loss = float(last_losses[-1])
-    assert np.isfinite(last_loss), "bench ran to NaN"
+    def run_once(r):
+        m = None
+        for i in range(TIMED_CHUNKS):
+            c_idx, m_idx = make_indices(jax.random.fold_in(key, 100 + 10 * r + i))
+            holder["st"], m = chunk(holder["st"], data, c_idx, m_idx, key, 1.0,
+                                    binarize=True)
+        return m
+
+    def sync(m):
+        losses = jax.device_get(m["model_loss"])
+        assert np.isfinite(float(losses[-1])), "bench ran to NaN"
+
+    reps = _time_repeats(run_once, sync, TIMED_CHUNKS * CHUNK)
+    return _row(label, reps, flops_step, bytes_step, baseline)
+
+
+def bench_vae():
+    """Baseline conv VAE driver step (vae.py canonical dbMNIST conv line),
+    scanned into chunks so the axon per-dispatch RPC floor does not dominate
+    the sub-millisecond step."""
+    from functools import partial
+
+    from ardae_tpu.models.registry import build_vae_model
+    from ardae_tpu.train.optim import build_optimizer
+    from ardae_tpu.train.state import TrainState
+    from ardae_tpu.train.vae_step import VAEStepConfig, build_vae_train_step
+
+    bs, z_dim, n_dim = 128, 32, 100
+    key = jax.random.PRNGKey(0)
+    model = build_vae_model("conv", nchannels=1, nheight=28, z_dim=z_dim,
+                            n_dim=n_dim, nonlin="softplus")
+    params = model.init(key, jnp.zeros((bs, 784)))
+    opt_m = build_optimizer("adam", 1e-4, beta1=0.5)
+    state = TrainState(
+        step=jnp.zeros([], jnp.int32), params_model=params,
+        opt_model=opt_m.init(params), params_cdae={}, opt_cdae=(),
+        avg_params_model=None, avg_count=None)
+    cfg = VAEStepConfig(loss_scale=1.0 / 784.0)
+    step = build_vae_train_step(model, opt_m, cfg)
+
+    vae_chunk_len = 200
+    data = jax.device_put(
+        jax.random.uniform(jax.random.PRNGKey(1), (N_ROWS, 784), jnp.float32))
+
+    @partial(jax.jit, donate_argnums=(0,))
+    def chunk(state, data, idx, key):
+        def body(st, i):
+            k = jax.random.fold_in(key, st.step)
+            batch = jax.random.bernoulli(
+                jax.random.fold_in(k, 7), jnp.take(data, i, axis=0)
+            ).astype(jnp.float32)
+            return step(st, batch, key, 1.0)
+
+        return jax.lax.scan(body, state, idx)
+
+    def make_idx(k):
+        return jax.random.randint(k, (vae_chunk_len, bs), 0, N_ROWS)
+
+    idx = make_idx(key)
+    flops_step, bytes_step = _cost_per_step(
+        chunk, vae_chunk_len, state, data, idx, key)
+
+    st, metrics = chunk(state, data, make_idx(key), key)
+    jax.device_get(metrics["loss"])
+
+    holder = {"st": st}
+
+    def run_once(r):
+        holder["st"], m = chunk(holder["st"], data,
+                                make_idx(jax.random.fold_in(key, 100 + r)), key)
+        return m
+
+    def sync(m):
+        losses = jax.device_get(m["loss"])
+        assert np.isfinite(float(losses[-1])), "vae bench ran to NaN"
+
+    reps = _time_repeats(run_once, sync, vae_chunk_len)
+    return _row("conv VAE baseline driver step (bs=128, fp32)", reps,
+                flops_step, bytes_step, REFERENCE_VAE_STEPS_PER_SEC)
+
+
+def main():
+    primary = bench_ivae(
+        "mnist-conv", "mlp-grad", h_model=0, n_layers_model=0,
+        nonlin_model="softplus", h_cdae=256, n_layers_cdae=5,
+        num_cdae_updates=1, std_scale=10000.0,
+        label="conv IVAE bf16 (primary)", baseline=REFERENCE_STEPS_PER_SEC)
+    rows = [primary]
+    try:
+        rows.append(bench_ivae(
+            "resconvct-res", "mlp-res", h_model=512, n_layers_model=1,
+            nonlin_model="elu", h_cdae=512, n_layers_cdae=5,
+            num_cdae_updates=2, std_scale=100.0,
+            label="flagship resconvct-res (2 cdae updates, bf16)",
+            baseline=REFERENCE_FLAGSHIP_STEPS_PER_SEC))
+    except Exception as e:  # extra rows must never break the primary artifact
+        rows.append({"label": "flagship resconvct-res", "error": str(e)[:200]})
+    try:
+        rows.append(bench_vae())
+    except Exception as e:
+        rows.append({"label": "conv VAE baseline", "error": str(e)[:200]})
 
     print(json.dumps({
         "metric": "dbMNIST conv IVAE+AR-DAE joint steps/sec/chip (bs=128, nz_cdae=625)",
-        "value": round(steps_per_sec, 3),
+        "value": primary["steps_per_sec"],
         "unit": "steps/sec",
-        "vs_baseline": round(steps_per_sec / REFERENCE_STEPS_PER_SEC, 1),
+        "vs_baseline": primary["vs_baseline"],
+        "mfu": primary["mfu"],
+        "hbm_util": primary["hbm_util"],
+        "spread": [primary["min"], primary["max"]],
+        "rows": rows,
     }))
 
 
