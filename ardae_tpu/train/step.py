@@ -63,6 +63,12 @@ class StepConfig:
     # decoder, and the detached context/latent-mean passes); the loss
     # reductions and the injected entropy-gradient term stay fp32.
     model_compute_dtype: str = "float32"
+    # jax.checkpoint around the phase-A DSM loss: the backward pass then
+    # recomputes the score net's forward instead of loading stored
+    # activations from HBM. The step is HBM-traffic-bound with the MXU ~97%
+    # idle (BASELINE.md roofline), so trading FLOPs for activation traffic
+    # is the right direction on paper — measured A/B decides the default.
+    remat_cdae: bool = False
     weight_avg: str = "none"  # none | polyak | swa
     weight_avg_start: int = 1000
     weight_avg_decay: float = 0.998
@@ -191,6 +197,8 @@ def cdae_update(model, cdae, opt_d, cfg: StepConfig, params_model, params_cdae,
             compute_dtype="bfloat16"
             if cfg.cdae_compute_dtype == "bfloat16" else None)
 
+    if cfg.remat_cdae:
+        loss_fn = jax.checkpoint(loss_fn)
     loss, grads = jax.value_and_grad(loss_fn)(params_cdae)
     updates, opt_cdae_state = opt_d.update(grads, opt_cdae_state, params_cdae)
     params_cdae = jax.tree.map(lambda p, u: p + u, params_cdae, updates)

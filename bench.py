@@ -115,7 +115,7 @@ def _row(label, reps, flops_step, bytes_step, baseline):
 
 def bench_ivae(model_name, cdae_name, *, h_model, n_layers_model, nonlin_model,
                h_cdae, n_layers_cdae, num_cdae_updates, std_scale, label,
-               baseline):
+               baseline, extra_cfg=None):
     """Joint two-phase step for an IVAE+AR-DAE config, both phases bf16."""
     from ardae_tpu.models.registry import (build_cdae, build_ivae_model,
                                            context_dim_for)
@@ -142,7 +142,7 @@ def bench_ivae(model_name, cdae_name, *, h_model, n_layers_model, nonlin_model,
                      num_cdae_updates=num_cdae_updates,
                      train_nz_cdae=nz_cdae, train_nz_model=1, ctx_type="lt0",
                      cdae_compute_dtype="bfloat16",
-                     model_compute_dtype="bfloat16")
+                     model_compute_dtype="bfloat16", **(extra_cfg or {}))
     opt_m = build_optimizer("adam", 1e-4, beta1=0.5)
     opt_d = build_optimizer("rmsprop", 1e-4, momentum=0.5)
     state = create_train_state(params_model, opt_m, params_cdae, opt_d)
