@@ -65,9 +65,13 @@ class StepConfig:
     model_compute_dtype: str = "float32"
     # jax.checkpoint around the phase-A DSM loss: the backward pass then
     # recomputes the score net's forward instead of loading stored
-    # activations from HBM. The step is HBM-traffic-bound with the MXU ~97%
-    # idle (BASELINE.md roofline), so trading FLOPs for activation traffic
-    # is the right direction on paper — measured A/B decides the default.
+    # activations from HBM. Looked right on paper (step is HBM-traffic-bound
+    # with the MXU ~97% idle) but MEASURED SLOWER on v5e
+    # (scripts/bench_remat_ab.py): primary conv 82.3 -> 65.8 steps/s,
+    # flagship resconvct-res 41.1 -> 34.8. The stored activations' reloads
+    # were overlapped with compute (same finding as the materialized-
+    # broadcast cleanups); recomputation serializes work instead. Kept as a
+    # documented negative result; default stays off.
     remat_cdae: bool = False
     weight_avg: str = "none"  # none | polyak | swa
     weight_avg_start: int = 1000
