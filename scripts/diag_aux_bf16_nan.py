@@ -39,6 +39,11 @@ def main():
     ap.add_argument("--from-iter", type=int, default=5000)
     ap.add_argument("--to-iter", type=int, default=8000)
     ap.add_argument("--exp", default=EXP)
+    ap.add_argument("--model-dtype", default="bfloat16",
+                    help="model_compute_dtype for the replay (A/B vs the "
+                    "original bf16 run; 'float32' answers whether the "
+                    "divergence is precision-induced)")
+    ap.add_argument("--cdae-dtype", default="bfloat16")
     args = ap.parse_args()
 
     import jax
@@ -88,8 +93,10 @@ def main():
                                weight_avg="none")
     cfg = StepConfig(std_scale=100.0, delta=0.1, num_cdae_updates=U,
                      train_nz_cdae=625, train_nstd_cdae=1, train_nz_model=1,
-                     ctx_type="hidden1a", cdae_compute_dtype="bfloat16",
-                     model_compute_dtype="bfloat16")
+                     ctx_type="hidden1a", cdae_compute_dtype=args.cdae_dtype,
+                     model_compute_dtype=args.model_dtype)
+    print(f"replay dtypes: model={args.model_dtype} cdae={args.cdae_dtype}",
+          flush=True)
 
     def beta_fn(step):
         return annealing_func(0.0001, 1.0, 50000.0, step)

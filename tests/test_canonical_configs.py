@@ -28,6 +28,7 @@ CANONICAL = [
 ]
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("ds,model_name,cdae_name,ctx,mo,do,ssc,nup", CANONICAL)
 def test_canonical_config_one_step(ds, model_name, cdae_name, ctx, mo, do, ssc, nup):
     toy = ds == "25gaussians"
@@ -76,6 +77,7 @@ def test_canonical_config_one_step(ds, model_name, cdae_name, ctx, mo, do, ssc, 
     assert jnp.isfinite(lp)
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("ds,model_name,cdae_name,ctx,mo,do,ssc,nup", CANONICAL)
 def test_canonical_config_bf16_both_phases(ds, model_name, cdae_name, ctx, mo,
                                            do, ssc, nup):

@@ -43,6 +43,7 @@ def _train_unconditional(module, key, mu, sigma_data, steps=400):
     return params, float(loss)
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("ctor", [MLPGradARDAE])
 def test_unconditional_ardae_learns_gaussian_score(ctor):
     mu, sigma_data = 0.5, 1.0
@@ -57,6 +58,7 @@ def test_unconditional_ardae_learns_gaussian_score(ctor):
     assert err < 0.35, f"score error too large: {err}; est={est}, true={true}"
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("ctor", [MLPResCARDAE, MLPGradCARDAE])
 def test_conditional_cardae_shapes_and_grads(ctor):
     module = ctor(input_dim=3, context_dim=5, h_dim=32, num_hidden_layers=2)
@@ -77,6 +79,7 @@ def test_conditional_cardae_shapes_and_grads(ctor):
     assert float(gnorm) > 0.0
 
 
+@pytest.mark.slow
 def test_conditional_cardae_learns_conditional_score():
     """cdae trained on z ~ N(ctx, 1) must produce score ~ -(z - ctx)."""
     module = MLPResCARDAE(input_dim=2, context_dim=2, h_dim=128, num_hidden_layers=2)

@@ -368,6 +368,7 @@ def test_vae_cli_bf16_mixed_precision(tmp_path):
     assert vae_main(args2) == 0
 
 
+@pytest.mark.slow
 def test_ivae_cli_sample_parallel_mesh(tmp_path):
     """--dp-devices 2 --sp-devices 4: 2-D (data, sample) mesh — batch rows
     over "data", the nz_cdae sample axis over "sample". Trajectory must

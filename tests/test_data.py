@@ -1,5 +1,6 @@
 """Data pipeline tests: toy generators, MNIST splits, device iterator."""
 
+import pytest
 import os
 import tempfile
 
@@ -46,6 +47,7 @@ def test_toy_logpdf_normalization():
     assert abs(integral - 1.0) < 0.02
 
 
+@pytest.mark.slow
 def test_mnist_splits_and_persistence(tmp_path):
     root = str(tmp_path)
     d1 = get_dataset("dbmnist-val5k", root=root)
@@ -62,6 +64,7 @@ def test_mnist_splits_and_persistence(tmp_path):
     assert d3["train"].shape == (60000, 784) and d3["val"] is None
 
 
+@pytest.mark.slow
 def test_sbmnist_fallback_binary(tmp_path):
     d = get_dataset("sbmnist", root=str(tmp_path))
     assert d["train"].shape == (50000, 784)
@@ -99,6 +102,7 @@ def test_eval_batcher_covers_all():
     assert sum(b.shape[0] for b in batches) == 10
 
 
+@pytest.mark.slow
 def test_mnist32_and_cmnist_dispatch(tmp_path):
     d32 = get_dataset("mnist32", root=str(tmp_path))
     assert d32["train"].shape[1] == 32 * 32

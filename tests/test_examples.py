@@ -26,6 +26,7 @@ def test_swissroll_sampler_stats():
     assert (x[:, 0] > 0).any() and (x[:, 0] < 0).any()
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("score_type", ["grad", "res"])
 def test_dae_toy_learns(score_type):
     dae, params, losses = dae_train(score_type=score_type, iterations=600,
@@ -39,6 +40,7 @@ def test_dae_toy_learns(score_type):
     assert np.isfinite(grad).all()
 
 
+@pytest.mark.slow
 def test_ardae_toy_score_points_inward():
     """At sigma=delta the smoothed swiss-roll score should point roughly
     toward the data manifold: moving along the score from far outside must
@@ -61,6 +63,7 @@ def test_ardae_toy_score_points_inward():
         assert d1 < d0, f"score at {p} points away from the data"
 
 
+@pytest.mark.slow
 def test_ardae_fit_matches_energy():
     """Short energy-fitting run: samples must concentrate where
     exp(-energy4) has mass (x2 near w1(x1) band)."""

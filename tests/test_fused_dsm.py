@@ -23,6 +23,7 @@ def _setup(h=32, L=3, bsz=4, ssz=64, zdim=8, ctx_dim=6, nonlin="softplus"):
     return module, params, latent, ctx, std
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("nonlin", ["softplus", "relu", "tanh"])
 def test_fused_matches_xla_loss_and_grads(nonlin):
     module, params, latent, ctx, std = _setup(nonlin=nonlin)
@@ -51,6 +52,7 @@ def test_fused_matches_xla_loss_and_grads(nonlin):
                                    rtol=2e-4, atol=1e-6, err_msg=k)
 
 
+@pytest.mark.slow
 def test_fused_larger_config():
     """Shapes from the sbmnist headline config, scaled down tile-wise."""
     module, params, latent, ctx, std = _setup(h=128, L=5, bsz=8, ssz=128,
@@ -140,6 +142,7 @@ def test_fused_grad_style_relu_second_derivative_zero():
                                    err_msg=jax.tree_util.keystr(kp))
 
 
+@pytest.mark.slow
 def test_fused_grad_style_bf16_close():
     """bf16 compute: loss within ~1%, grads correlated (mixed-precision
     training tolerance, same recipe as the XLA bf16 path)."""
@@ -183,6 +186,7 @@ def test_fused_grad2_matches_xla(nonlin):
                                    rtol=5e-4, atol=1e-6, err_msg=k)
 
 
+@pytest.mark.slow
 def test_fused_grad2_sample_axis_padding():
     """ssz not a tile multiple: zero-valued padding rows must be exact no-ops
     for the loss AND every parameter gradient (the At adjoint chain is

@@ -1,6 +1,7 @@
 """Driver-contract tests: __graft_entry__.entry() must jit, and
 dryrun_multichip must execute the full joint step on the 8-device mesh."""
 
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -15,6 +16,7 @@ def test_entry_jits_and_is_finite():
     assert np.isfinite(float(recon)) and np.isfinite(float(prior))
 
 
+@pytest.mark.slow
 def test_dryrun_multichip_8(capsys):
     import __graft_entry__ as ge
 
@@ -22,6 +24,7 @@ def test_dryrun_multichip_8(capsys):
     assert "dryrun_multichip(8): ok" in capsys.readouterr().out
 
 
+@pytest.mark.slow
 def test_dryrun_survives_broken_default_backend():
     """The dryrun is a pure-CPU check; it must pass even when the default
     backend (axon TPU tunnel) is broken — the round-1 MULTICHIP artifact

@@ -47,6 +47,7 @@ def _init_aux_ivae(model, x):
     (lambda: MNISTResConvAuxIPVAE(z0_dim=8, z_dim=4, c_dim=32), XI, 8),
     (lambda: MNISTResConvAuxIPVAE(z0_dim=8, z_dim=4, c_dim=32, clipped=True), XI, 8),
 ])
+@pytest.mark.slow
 def test_aux_ivae_forward_hidden_iws(ctor, x, nd):
     model = ctor()
     params = _init_aux_ivae(model, x)

@@ -44,6 +44,7 @@ def test_resconv_vae_loss():
     assert logit.shape == (2, 784)
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("fc_type", FC_TYPES)
 def test_resconv_ipvae_all_fc_types(fc_type):
     model = ResConvIPVAE(z_dim=4, noise_dim=8, c_dim=32, h_dim=16,
@@ -64,6 +65,7 @@ def test_resconv_decoder_output_28():
     assert float(jnp.mean(logit)) < -1.0
 
 
+@pytest.mark.slow
 def test_every_toy_encoder_fusion_trains_one_step():
     """All 13 toy encoder fusion variants (reference models/ivae/toy.py:111-791
     dispatch): init, implicit sampling shape law, finite ivae loss + grads."""

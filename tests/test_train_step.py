@@ -1,6 +1,7 @@
 """Joint train-step tests: entropy-grad surrogate correctness + a tiny
 end-to-end 25-gaussians run reaching a sane loss band (SURVEY.md 4d)."""
 
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -47,6 +48,7 @@ def test_entropy_grad_surrogate_matches_manual_injection():
     np.testing.assert_allclose(g, expected, rtol=1e-5)
 
 
+@pytest.mark.slow
 def test_train_step_runs_and_updates():
     model, cdae, params_model, params_cdae, x = _build()
     cfg = StepConfig(std_scale=10.0, delta=0.1, num_cdae_updates=2,
@@ -67,6 +69,7 @@ def test_train_step_runs_and_updates():
     assert max(jax.tree.leaves(moved)) > 0
 
 
+@pytest.mark.slow
 def test_lt0_context_and_nstd():
     model, cdae, params_model, params_cdae, x = _build()
     cfg = StepConfig(std_scale=1.0, delta=0.1, num_cdae_updates=1,
@@ -80,6 +83,7 @@ def test_lt0_context_and_nstd():
     assert jnp.isfinite(metrics["cdae_loss"])
 
 
+@pytest.mark.slow
 def test_toy_e2e_loss_decreases():
     """300 joint steps on 25-gaussians-like data: model loss must drop."""
     from ardae_tpu.data.toy import _exp4
@@ -109,6 +113,7 @@ def test_toy_e2e_loss_decreases():
     assert np.isfinite(last)
 
 
+@pytest.mark.slow
 def test_model_compute_dtype_bf16_step():
     """PHASE-B bf16: master params stay fp32, one joint step is finite and
     close to the fp32 step (loss reductions are fp32 by construction)."""
