@@ -1,24 +1,27 @@
-"""Localize the bf16 auxresconvct NaN (canonical dbMNIST config, seed 1).
+"""Localize the auxresconvct NaN (canonical dbMNIST config, seed 1).
 
-The 60k bf16 survivability run (exp 77) NaN'd at iter 7000 with HEALTHY
-sigma (~5), i.e. NOT round-1's tiny-sigma underflow. Because the per-step
-RNG is fold_in(chunk_key, state.step) and the index stream is a
-deterministic host generator, replaying from the iter-5000 checkpoint with
-the same chunk length (K=200) is bit-identical to the original run. The
-chunk metrics come back stacked [K], so the first non-finite step inside
-the failing chunk — and WHICH metric dies first — falls out directly:
+Because the per-step RNG is fold_in(chunk_key, state.step) and the index
+stream is a deterministic host generator, replaying from the iter-5000
+checkpoint with the same chunk length (K=200) is bit-identical to the
+original run; the chunk metrics come back stacked [K], so the first
+non-finite step inside the failing chunk — and WHICH metric dies first —
+falls out directly. After localizing, the script re-runs the failing
+neighborhood step by step with magnitude dumps.
 
-  - sigma/model_loss NaN first  -> model params died in the previous
-    step's PHASE B (entropy-grad injection / adam update)
-  - cdae_loss NaN first, sigma finite -> cdae params died in PHASE A
-    (DSM loss / rmsprop update)
+FINDINGS (2026-08-17, VALIDATION.md "NaN mechanism" section):
+  - The 60k bf16 run's NaN localizes to iter 6204 with HEALTHY growing
+    sigma (std_eff ~5.5, min ~3) — NOT round-1's hypothesized tiny-sigma
+    underflow.
+  - Losses diverge over ~4 steps (model_loss 68->135) with bounded
+    params, then |z|max explodes 4.4 -> 2.2e11 in ONE step: an
+    entropy-driven logvar runaway through the spm4 clamp (a FLOOR;
+    logvar is unbounded above, so exp(0.5*lv) can overflow).
+  - Replaying with --model-dtype float32 (phase B fp32) AND with both
+    phases fp32 diverges at the SAME iter 6204 with the same signature:
+    the runaway is workload-level, not a precision artifact.
 
-After localizing, the script re-runs the single bad step from a saved
-pre-chunk state and dumps intermediate magnitudes (mu/lv extremes, score
-norm, per-phase grad norms) in bf16 AND fp32 to identify the blowing-up
-tensor.
-
-Usage: python scripts/diag_aux_bf16_nan.py [--from-iter 5000] [--to-iter 8000]
+Usage: python scripts/diag_aux_bf16_nan.py [--from-iter 5000]
+         [--to-iter 8000] [--model-dtype float32] [--cdae-dtype float32]
 """
 import argparse
 import os
