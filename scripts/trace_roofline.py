@@ -84,9 +84,9 @@ def analyze(trace_path, steps, top):
               f"x{count:<5d} [{cat}] {name[:60]}")
 
 
-def capture(n_steps, outdir):
-    """Profile n_steps of the flagship bench config into outdir (needs the
-    TPU; uses bench.py's flagship row builder for an identical program)."""
+def capture(n_steps, outdir, config="flagship"):
+    """Profile n_steps of a bench config into outdir (needs the TPU; uses
+    bench.py's row builders for a program identical to the benchmark)."""
     sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
     import jax
 
@@ -103,10 +103,18 @@ def capture(n_steps, outdir):
             return orig_time(run_once, sync, n)
 
     bench._time_repeats = traced
-    row = bench.bench_ivae(
-        "resconvct-res", "mlp-res", h_model=512, n_layers_model=1,
-        nonlin_model="elu", h_cdae=512, n_layers_cdae=5, num_cdae_updates=2,
-        std_scale=100.0, label="flagship (traced)", baseline=0)
+    if config == "flagship":
+        row = bench.bench_ivae(
+            "resconvct-res", "mlp-res", h_model=512, n_layers_model=1,
+            nonlin_model="elu", h_cdae=512, n_layers_cdae=5,
+            num_cdae_updates=2, std_scale=100.0,
+            label="flagship (traced)", baseline=0)
+    else:  # primary: conv IVAE bf16, the headline bench row
+        row = bench.bench_ivae(
+            "mnist-conv", "mlp-grad", h_model=0, n_layers_model=0,
+            nonlin_model="softplus", h_cdae=256, n_layers_cdae=5,
+            num_cdae_updates=1, std_scale=10000.0,
+            label="primary (traced)", baseline=0)
     print("captured:", row["label"], row["steps_per_sec"], "steps/s")
 
 
@@ -118,9 +126,12 @@ if __name__ == "__main__":
                     help="train steps covered by the trace window")
     ap.add_argument("--top", type=int, default=15)
     ap.add_argument("--capture", type=int, metavar="N",
-                    help="first capture an N-step flagship trace into TRACE")
+                    help="first capture an N-step trace into TRACE")
+    ap.add_argument("--config", default="flagship",
+                    choices=["flagship", "primary"],
+                    help="which bench config --capture profiles")
     a = ap.parse_args()
     if a.capture:
-        capture(a.capture, a.trace)
+        capture(a.capture, a.trace, a.config)
         a.steps = a.capture
     analyze(find_trace(a.trace), a.steps, a.top)
