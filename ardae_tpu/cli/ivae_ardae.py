@@ -654,6 +654,12 @@ def main(argv=None):
         restored = load_checkpoint(state, opt.path, flavor)
         if restored is not None:
             state, _ = restored
+        else:
+            # e.g. a NaN halt before the first eval cadence: no best
+            # checkpoint was ever written, so the test number below reflects
+            # the LIVE train state (possibly non-finite) — say so.
+            logging(f"| warning: no {flavor} on disk — evaluating the live "
+                    "train state instead", path=opt.path)
         t0 = time.time()
         logprob = evaluate_iws_ivae(
             model, eval_params(state), splits["test"], opt.iws_samples,

@@ -494,6 +494,9 @@ def main(argv=None):
         restored = load_checkpoint(state, opt.path, flavor)
         if restored is not None:
             state, _ = restored
+        else:
+            logging(f"| warning: no {flavor} on disk — evaluating the live "
+                    "train state instead", path=opt.path)
         t0 = time.time()
         elbo, logprob = evaluate_iwae_vae(
             model, eval_params(state), splits["test"], opt.iws_samples,
