@@ -53,11 +53,12 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 10)
 # host (see BASELINE.md); override with ARDAE_BASELINE_STEPS_PER_SEC.
 REFERENCE_STEPS_PER_SEC = float(
     os.environ.get("ARDAE_BASELINE_STEPS_PER_SEC", "0.00664"))
-# torch-CPU baselines for the extra rows (BASELINE.md; 0 = not measured)
+# torch-CPU baselines for the extra rows (BASELINE.md idle-core
+# re-measurements via scripts/ref_timing.py; 0 = not measured)
 REFERENCE_FLAGSHIP_STEPS_PER_SEC = float(
-    os.environ.get("ARDAE_BASELINE_FLAGSHIP", "0"))
+    os.environ.get("ARDAE_BASELINE_FLAGSHIP", "0.00807"))
 REFERENCE_VAE_STEPS_PER_SEC = float(
-    os.environ.get("ARDAE_BASELINE_VAE", "0"))
+    os.environ.get("ARDAE_BASELINE_VAE", "14.81"))
 
 PEAK_FLOPS_BF16 = 197e12  # TPU v5e
 PEAK_HBM_BYTES = 819e9
