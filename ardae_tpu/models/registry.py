@@ -3,7 +3,8 @@
 build_ivae_model: ivae_ardae.py --model choices (reference :295-536).
 build_vae_model:  vae.py --model choices (reference :197-303). 'toy-maf' is
 registered-but-broken in the reference (models/__init__.py lacks ToyMAFVAE);
-we raise the same way a user would experience it.
+here it builds a WORKING conditional-MAF-posterior model (models/vae/maf.py,
+documented extension).
 build_cdae:       ivae_ardae.py --cdae choices (reference :567-609).
 context_dim_for:  --cdae-ctx-type dimension rules (reference :568-582).
 """
@@ -26,6 +27,7 @@ from ardae_tpu.models.vae.aux import (
     ToyAuxVAE,
 )
 from ardae_tpu.models.vae.conv import MNISTConvVAE
+from ardae_tpu.models.vae.maf import ToyMAFVAE
 from ardae_tpu.models.vae.mnist import MNISTVAE
 from ardae_tpu.models.vae.resconv import MNISTResConvVAE
 from ardae_tpu.models.vae.toy import ToyVAE
@@ -108,11 +110,13 @@ def build_vae_model(name, *, nchannels=1, nheight=28, z_dim=8, h_dim=300,
         return ToyVAE(input_dim=input_dim, h_dim=h_dim, z_dim=z_dim,
                       nonlinearity=nonlin, num_hidden_layers=n_layers)
     if name == "toy-maf":
-        raise NotImplementedError(
-            "toy-maf is unregistered in the reference model zoo "
-            "(vae.py:205-212 vs models/__init__.py) — selecting it crashes "
-            "there too; intentionally not implemented."
-        )
+        # Unregistered/broken in the reference (vae.py:205-212 selects
+        # ToyMAFVAE, models/__init__.py never exports it — the CLI crashes
+        # there). We ship a WORKING conditional-MAF-posterior realization of
+        # the evident intent (models/vae/maf.py) — a documented TPU-side
+        # extension, not a parity port.
+        return ToyMAFVAE(input_dim=input_dim, h_dim=h_dim, z_dim=z_dim,
+                         nonlinearity=nonlin, num_hidden_layers=n_layers)
     if name == "mnist":
         return MNISTVAE(input_dim=input_dim, h_dim=h_dim, z_dim=z_dim,
                         nonlinearity=nonlin, num_hidden_layers=n_layers,

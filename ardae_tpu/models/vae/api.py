@@ -46,16 +46,33 @@ def vae_loss(module, params, key, x, beta=1.0, compute_dtype=None):
     else:
         cd = None
         params_c, x_c = params, x
-    mu_z, logvar_z = module.apply(params_c, x_c, method=module.encode_params)
-    mu_z = mu_z.astype(jnp.float32)
-    logvar_z = logvar_z.astype(jnp.float32)
-    z = sample_gaussian(key, mu_z, logvar_z)
+    if module.family == "flow_posterior":
+        # MAF posterior (models/vae/maf.py): KLD term is the single-sample
+        # Monte-Carlo E[log q(z|x) - log p(z)] — no closed form through the
+        # flow. The flow itself runs fp32 (tiny nets; exactness of the
+        # sequential inverse matters more than bandwidth).
+        mu_z, logvar_z, ctx = module.apply(
+            params_c, x_c, method=module.encode_ctx)
+        mu_z = mu_z.astype(jnp.float32)
+        logvar_z = logvar_z.astype(jnp.float32)
+        z0 = sample_gaussian(key, mu_z, logvar_z)
+        params_f = params if cd is not None else params_c
+        z, sum_a = module.apply(
+            params_f, z0, ctx.astype(jnp.float32), method=module.flow_inverse)
+        logq = jnp.sum(logprob_gaussian(mu_z, logvar_z, z0), axis=-1) - sum_a
+        logp = jnp.sum(logprob_gaussian(0.0, 0.0, z), axis=-1)
+        kld = logq - logp
+    else:
+        mu_z, logvar_z = module.apply(params_c, x_c, method=module.encode_params)
+        mu_z = mu_z.astype(jnp.float32)
+        logvar_z = logvar_z.astype(jnp.float32)
+        z = sample_gaussian(key, mu_z, logvar_z)
+        kld = loss_kld_gaussian(mu_z, logvar_z, reduce="per_item")
     dist_params = module.apply(
         params_c, z.astype(x_c.dtype), method=module.decode_params
     )
     dist_params = jax.tree.map(lambda d: d.astype(jnp.float32), dist_params)
     recon = _recon(module, dist_params, x)
-    kld = loss_kld_gaussian(mu_z, logvar_z, reduce="per_item")
     loss = jnp.mean(recon + beta * kld)
     return loss, {"recon": jnp.mean(recon), "kld": jnp.mean(kld), "z": z}
 
@@ -84,6 +101,10 @@ def reconstruct(module, params, key, x):
         z0 = sample_gaussian(k0, mu0, lv0)
         mu_z, lv_z = module.apply(params, feats, z0, method=module.main_params)
         z = sample_gaussian(k1, mu_z, lv_z)
+    elif module.family == "flow_posterior":
+        mu_z, logvar_z, ctx = module.apply(params, x, method=module.encode_ctx)
+        z0 = sample_gaussian(k_enc, mu_z, logvar_z)
+        z, _ = module.apply(params, z0, ctx, method=module.flow_inverse)
     else:
         mu_z, logvar_z = module.apply(params, x, method=module.encode_params)
         z = sample_gaussian(k_enc, mu_z, logvar_z)
@@ -100,11 +121,26 @@ def logprob_iwae(module, params, key, x, sample_size):
     """IWAE bound with the exact Gaussian q (reference models/vae/mnist.py:179-220)."""
     bsz = x.shape[0]
     zdim = module.z_dim
-    mu_qz, logvar_qz = module.apply(params, x, method=module.encode_params)
-    mu = jnp.broadcast_to(mu_qz[:, None, :], (bsz, sample_size, zdim))
-    logvar = jnp.broadcast_to(logvar_qz[:, None, :], (bsz, sample_size, zdim))
-    z = sample_gaussian(key, mu, logvar)
-    logposterior = jnp.sum(logprob_gaussian(mu, logvar, z), axis=-1)
+    if module.family == "flow_posterior":
+        mu_qz, logvar_qz, ctx = module.apply(params, x, method=module.encode_ctx)
+        mu = jnp.broadcast_to(mu_qz[:, None, :], (bsz, sample_size, zdim))
+        logvar = jnp.broadcast_to(logvar_qz[:, None, :], (bsz, sample_size, zdim))
+        z0 = sample_gaussian(key, mu, logvar)
+        ctx_rep = jnp.broadcast_to(
+            ctx[:, None, :], (bsz, sample_size, ctx.shape[-1])
+        ).reshape(bsz * sample_size, -1)
+        z_flat, sum_a = module.apply(
+            params, z0.reshape(bsz * sample_size, zdim), ctx_rep,
+            method=module.flow_inverse)
+        z = z_flat.reshape(bsz, sample_size, zdim)
+        logposterior = (jnp.sum(logprob_gaussian(mu, logvar, z0), axis=-1)
+                        - sum_a.reshape(bsz, sample_size))
+    else:
+        mu_qz, logvar_qz = module.apply(params, x, method=module.encode_params)
+        mu = jnp.broadcast_to(mu_qz[:, None, :], (bsz, sample_size, zdim))
+        logvar = jnp.broadcast_to(logvar_qz[:, None, :], (bsz, sample_size, zdim))
+        z = sample_gaussian(key, mu, logvar)
+        logposterior = jnp.sum(logprob_gaussian(mu, logvar, z), axis=-1)
     logprior = jnp.sum(logprob_gaussian(0.0, 0.0, z), axis=-1)
 
     dist_params = module.apply(

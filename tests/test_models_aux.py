@@ -110,15 +110,15 @@ def test_registry_builds_every_ivae_name():
 
 
 def test_registry_vae_names_and_toy_maf():
-    for name in ("toy", "mnist", "conv", "resconv", "resconvct",
+    for name in ("toy", "toy-maf", "mnist", "conv", "resconv", "resconvct",
                  "auxtoy", "auxmnist", "auxconv", "auxresconv", "auxresconvct"):
         kw = dict(nchannels=1, nheight=28, z_dim=4, h_dim=16, n_dim=8,
                   n_layers=2, nonlin="elu" if "resconv" in name else "softplus")
-        if name in ("toy", "auxtoy"):
+        if name in ("toy", "toy-maf", "auxtoy"):
             kw.update(nchannels=2, nheight=1)
         assert build_vae_model(name, **kw) is not None
-    with pytest.raises(NotImplementedError):
-        build_vae_model("toy-maf")
+    # toy-maf is unregistered/broken in the reference; ours is a working
+    # conditional-MAF model (models/vae/maf.py, documented extension)
 
 
 def test_context_dims():
