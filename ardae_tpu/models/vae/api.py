@@ -56,9 +56,9 @@ def vae_loss(module, params, key, x, beta=1.0, compute_dtype=None):
         mu_z = mu_z.astype(jnp.float32)
         logvar_z = logvar_z.astype(jnp.float32)
         z0 = sample_gaussian(key, mu_z, logvar_z)
-        params_f = params if cd is not None else params_c
+        # flow always runs on the fp32 master params
         z, sum_a = module.apply(
-            params_f, z0, ctx.astype(jnp.float32), method=module.flow_inverse)
+            params, z0, ctx.astype(jnp.float32), method=module.flow_inverse)
         logq = jnp.sum(logprob_gaussian(mu_z, logvar_z, z0), axis=-1) - sum_a
         logp = jnp.sum(logprob_gaussian(0.0, 0.0, z), axis=-1)
         kld = logq - logp

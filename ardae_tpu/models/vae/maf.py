@@ -25,52 +25,25 @@ inter-block coordinate reversal (logdet 0): the model starts as an exact
 Gaussian-posterior ToyVAE (up to a coordinate permutation of z).
 """
 
-import flax.linen as nn
 import jax.numpy as jnp
 
-from ardae_tpu.nn.heads import NormalHead
-from ardae_tpu.nn.initializers import normal_init
+from ardae_tpu.models.vae.toy import ToyVAE
 from ardae_tpu.nn.made import ConditionalMADE
-from ardae_tpu.nn.mlp import MLP
 
 
-class ToyMAFVAE(nn.Module):
-    input_dim: int = 2
-    h_dim: int = 64
-    z_dim: int = 2
-    nonlinearity: str = "softplus"
-    num_hidden_layers: int = 1
+class ToyMAFVAE(ToyVAE):
+    """ToyVAE (same encoder/decoder stack, inherited) + posterior flow."""
+
     n_flows: int = 2
-    init_mode: str = "gaussian"
-
     family: str = "flow_posterior"
-    likelihood: str = "gaussian"
-    center_input: bool = False
 
     def setup(self):
-        self.enc_main = MLP(
-            hidden_dim=self.h_dim, output_dim=self.h_dim,
-            nonlinearity=self.nonlinearity,
-            num_hidden_layers=self.num_hidden_layers - 1,
-            use_nonlinearity_output=True, name="enc_main",
-        )
-        self.enc_reparam = NormalHead(self.z_dim, name="enc_reparam")
+        super().setup()  # enc_main / enc_reparam / dec_main / dec_reparam
         self.flows = [
             ConditionalMADE(input_dim=self.z_dim, hidden_dim=self.h_dim,
                             nonlinearity=self.nonlinearity, name=f"flow{b}")
             for b in range(self.n_flows)
         ]
-        self.dec_main = MLP(
-            hidden_dim=self.h_dim, output_dim=self.h_dim,
-            nonlinearity=self.nonlinearity,
-            num_hidden_layers=self.num_hidden_layers - 1,
-            use_nonlinearity_output=True, name="dec_main",
-        )
-        self.dec_reparam = NormalHead(
-            self.input_dim,
-            mean_kernel_init=normal_init(1.0) if self.init_mode == "gaussian" else None,
-            name="dec_reparam",
-        )
 
     # -- encoder ----------------------------------------------------------
     def encode_ctx(self, x):
@@ -79,9 +52,7 @@ class ToyMAFVAE(nn.Module):
         mu, logvar = self.enc_reparam(h)
         return mu, logvar, h
 
-    def encode_params(self, x):
-        mu, logvar, _ = self.encode_ctx(x)
-        return mu, logvar
+    # encode_params / decode_params are inherited from ToyVAE unchanged.
 
     # -- flow -------------------------------------------------------------
     def flow_forward(self, z, ctx):
@@ -119,8 +90,3 @@ class ToyMAFVAE(nn.Module):
         z, _ = self.flow_inverse(mu_z, ctx)
         mu_x, logvar_x = self.decode_params(z)
         return (mu_z, logvar_z), (mu_x, logvar_x)
-
-    # -- decoder ----------------------------------------------------------
-    def decode_params(self, z_flat):
-        h = self.dec_main(z_flat.reshape(z_flat.shape[0], -1))
-        return self.dec_reparam(h)  # (mu_x, logvar_x)

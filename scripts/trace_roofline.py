@@ -52,6 +52,11 @@ def analyze(trace_path, steps, top):
         args = e.get("args")
         if not args or "device_duration_ps" not in args:
             continue  # host-side / metadata event
+        if "hlo_category" not in args:
+            # envelope lanes ("Steps", "XLA Modules") carry a single
+            # device_duration_ps spanning the whole window with 0 bytes —
+            # counting them doubles busy-sum and fakes extra overlap
+            continue
         dur_us = float(args["device_duration_ps"]) / 1e6
         nbytes = int(args.get("bytes_accessed", 0))
         busy_us += dur_us
@@ -64,6 +69,9 @@ def analyze(trace_path, steps, top):
         agg[1] += nbytes
         agg[2] += 1
 
+    if not per_op:
+        sys.exit(f"no device op events in {trace_path} "
+                 "(CPU-backend or host-only capture?)")
     # ops overlap on parallel device lanes (busy-sum > wall span); the
     # roofline denominator is the device-track wall span.
     total_s = (t1 - t0) / 1e6

@@ -42,6 +42,12 @@ def _write_trace(path):
         # host event without device_duration_ps must be ignored
         {"ph": "X", "pid": 1, "tid": 1, "ts": 0.0, "dur": 99_000.0,
          "name": "host_thing", "args": {"bytes_accessed": "999999999999"}},
+        # envelope lane event (like "Steps"/"XLA Modules"): has
+        # device_duration_ps spanning the window but no hlo_category —
+        # must NOT count toward busy-sum (would fake overlap)
+        {"ph": "X", "pid": 3, "tid": 9, "ts": 0.0, "dur": 15_000.0,
+         "name": "envelope_step", "args": {
+             "device_duration_ps": "15000000000", "bytes_accessed": "0"}},
     ]
     with gzip.open(path, "wt") as f:
         json.dump({"traceEvents": events}, f)
@@ -58,7 +64,21 @@ def test_analyze_span_and_bytes(tmp_path, capsys):
     assert "busy-sum 20.0 ms" in out
     assert "1.00 GB/step at 5.00 ms/step = 200 GB/s" in out
     assert "host_thing" not in out
+    assert "envelope_step" not in out
     assert "fusion.1" in out and "copy.2" in out
+
+
+def test_analyze_rejects_op_free_trace(tmp_path):
+    trace = tmp_path / "vm.trace.json.gz"
+    with gzip.open(str(trace), "wt") as f:
+        json.dump({"traceEvents": [
+            {"ph": "X", "pid": 1, "tid": 1, "ts": 0.0, "dur": 5.0,
+             "name": "host_only", "args": {}}]}, f)
+    mod = _load()
+    import pytest
+
+    with pytest.raises(SystemExit):
+        mod.analyze(str(trace), steps=1, top=5)
 
 
 def test_find_trace_latest(tmp_path):
