@@ -14,7 +14,7 @@ import os
 import jax
 import numpy as np
 
-from ardae_tpu.io.logging import get_time, logging
+from ardae_tpu.io.logging import get_time
 
 
 def resolve_experiment_path(cache, experiment, resume):
@@ -52,6 +52,14 @@ class IndexStream:
     """
 
     def __init__(self, n, batch_size, seed=0):
+        if n < batch_size:
+            # drop-remainder semantics (reference len//bs) would mean zero
+            # batches per epoch; the infinite take() stream cannot satisfy
+            # that — fail loudly instead of a numpy broadcast error later
+            raise ValueError(
+                f"dataset size {n} < batch size {batch_size}: no full batch "
+                "exists under drop-remainder semantics (reduce the batch "
+                "size or raise --toy-train-size)")
         self.n = n
         self.bs = batch_size
         self.per_epoch = n // batch_size
@@ -71,8 +79,7 @@ class IndexStream:
         return out.astype(np.int32)
 
 
-def chunk_until_boundary(i_ep, intervals, steps_per_epoch=None, end_iter=None,
-                         max_chunk=200):
+def chunk_until_boundary(i_ep, intervals, end_iter=None, max_chunk=200):
     """Largest k such that no cadence boundary falls strictly inside
     (i_ep, i_ep+k): boundaries happen when (i_ep+j) % interval == 0.
 
@@ -126,23 +133,14 @@ def evaluate_iws_ivae(model, params, eval_data, iws_samples, key,
 
     data = jnp.asarray(eval_data)
     total, count = 0.0, 0
-    for start in range(0, (data.shape[0] // batch) * batch, batch):
-        x = data[start : start + batch]
+    for start in range(0, data.shape[0], batch):
+        x = data[start : start + batch]  # final slice is the (short) tail
         key, sub = jax.random.split(key)
         if binarize:
             key, kb = jax.random.split(key)
             x = jax.random.bernoulli(kb, x).astype(jnp.float32)
         total += float(one(params, x, sub)) * x.shape[0]
         count += x.shape[0]
-    tail = data.shape[0] - count
-    if tail > 0:
-        x = data[-tail:]
-        key, sub = jax.random.split(key)
-        if binarize:
-            key, kb = jax.random.split(key)
-            x = jax.random.bernoulli(kb, x).astype(jnp.float32)
-        total += float(one(params, x, sub)) * tail
-        count += tail
     return total / max(count, 1)
 
 

@@ -355,6 +355,15 @@ def main(argv=None):
     # the replicated params make XLA psum the grads over ICI.
     mesh = None
     dp = opt.dp_devices if opt.dp_devices and opt.dp_devices > 1 else 0
+    if opt.train_nz_cdae < 2:
+        # parity note: sigma = delta*mean(std(z, ddof=1)) over the nz axis is
+        # NaN for a single sample — the reference (torch.std unbiased,
+        # ivae_ardae.py:754) NaNs identically at ITS default; every canonical
+        # config passes nz >= 64. Warn up front instead of a silent NaN halt.
+        logging("| warning: --train-nz-cdae < 2 makes the per-item sigma "
+                "estimate (sample std over nz) NaN — training will halt at "
+                "the first log interval. The reference behaves the same; "
+                "use --train-nz-cdae >= 2.", path=opt.path)
     sp = opt.sp_devices if opt.sp_devices and opt.sp_devices > 1 else 0
     if dp or sp:
         from jax.sharding import NamedSharding, PartitionSpec as P

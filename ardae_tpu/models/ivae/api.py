@@ -190,30 +190,7 @@ def logprob_iws(module, params, key, x, sample_size, jitter=0.0, noise_std=None)
     newz = mu_qz[:, None, :] + jnp.einsum("bij,bsj->bsi", chol, eps)
     logposterior = jax.vmap(mvn_logprob)(newz, mu_qz, chol)  # (bsz, ssz)
 
-    # log p(z)
-    logprior = jnp.sum(logprob_gaussian(0.0, 0.0, newz), axis=-1)
-
-    # log p(x|z): one decode over all rows
-    dist_params = module.apply(
-        params, newz.reshape(bsz * sample_size, zdim), method=module.decode_params
-    )
-    x_flat = x.reshape(bsz, 1, -1)
-    target = jnp.broadcast_to(x_flat, (bsz, sample_size, x_flat.shape[-1]))
-    if module.likelihood == "bernoulli":
-        (logit,) = dist_params
-        logit = logit.reshape(bsz, sample_size, -1)
-        ll = -(
-            jnp.maximum(logit, 0.0)
-            - logit * target
-            + jnp.log1p(jnp.exp(-jnp.abs(logit)))
-        )
-        loglikelihood = jnp.sum(ll, axis=-1)
-    else:
-        mu, logvar = dist_params
-        mu = mu.reshape(bsz, sample_size, -1)
-        logvar = logvar.reshape(bsz, sample_size, -1)
-        loglikelihood = jnp.sum(logprob_gaussian(mu, logvar, target), axis=-1)
-
+    loglikelihood, logprior = _loglik_and_prior(module, params, x, newz)
     logw = loglikelihood + logprior - logposterior  # (bsz, ssz)
     return jnp.mean(iwae_bound(logw, axis=1))
 

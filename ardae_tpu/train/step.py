@@ -182,16 +182,22 @@ def cdae_update(model, cdae, opt_d, cfg: StepConfig, params_model, params_cdae,
     # validated but measured SLOWER than XLA's fused double-backward and
     # bf16-unsafe — it is deliberately not dispatched here (see its
     # docstring for the measurements).
+    # the guard and the kernel call must agree on the tile size, and the
+    # fused path is fp32-only (it has no compute_dtype plumbing) — never
+    # dispatch it in bf16 mode, which would silently mix numeric regimes
+    fused_tile = 512
     use_fused = (
         cfg.use_pallas
         and cfg.noise_type == "gaussian"
+        and cfg.cdae_compute_dtype != "bfloat16"
         and jax.default_backend() == "tpu"
-        and supports_fused_dsm(cdae, bsz * ns)
+        and supports_fused_dsm(cdae, bsz * ns, tile=fused_tile)
     )
 
     def loss_fn(p):
         if use_fused:
-            return fused_cdae_dsm_loss(cdae, p, k_noise, lsm_exp, ctx, stdmat)
+            return fused_cdae_dsm_loss(cdae, p, k_noise, lsm_exp, ctx, stdmat,
+                                       tile=fused_tile)
         # bf16 mode: matmuls in bf16 (params cast inside cdae_loss, fp32
         # master grads through the cast's transpose); the noise draw, the
         # perturbation, and the sigma*score+eps loss product stay fp32 so
@@ -335,10 +341,6 @@ def build_train_chunk(model, cdae, opt_m, opt_d, cfg: StepConfig,
     the scan (defaults to the constant beta0 argument).
     """
 
-    def gather(data, idx, key):
-        batch = jnp.take(data, idx, axis=0)
-        return batch
-
     @partial(jax.jit, static_argnames=("binarize",), donate_argnums=(0,))
     def chunk(state: TrainState, data, cdae_idx, model_idx, key, beta0,
               binarize: bool = False):
@@ -350,7 +352,10 @@ def build_train_chunk(model, cdae, opt_m, opt_d, cfg: StepConfig,
             )
             model_batch = jnp.take(data, m_idx, axis=0)
             if binarize:
-                kb1, kb2 = jax.random.split(jax.random.fold_in(k, 7))
+                # tag far outside the 0..num_cdae_updates fold_in range used
+                # by _one_step: fold_in(k, 7) collides bit-exactly with cdae
+                # update #7's keys when num_cdae_updates >= 8
+                kb1, kb2 = jax.random.split(jax.random.fold_in(k, 1_000_003))
                 cdae_batches = jax.random.bernoulli(kb1, cdae_batches).astype(
                     jnp.float32
                 )
