@@ -205,7 +205,11 @@ def _val_split_indices(root, dataset, n, val_size):
     if os.path.exists(path):
         return np.load(path)["indices"]
     indices = np.random.default_rng(n + val_size).permutation(n)
-    np.savez(path, indices=indices)
+    # atomic publish: a second concurrent driver must never np.load a
+    # half-written npz (content is deterministic, last-writer-wins is safe)
+    tmp = path + f".{os.getpid()}.tmp.npz"  # .npz suffix: savez keeps name
+    np.savez(tmp, indices=indices)
+    os.replace(tmp, path)
     return indices
 
 

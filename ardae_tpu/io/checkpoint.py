@@ -8,8 +8,9 @@ TrainState — so resume continues the exact same device-side noise sequence
 host-side data-shuffle position restarts on resume, matching the reference's
 DataLoader-iterator behavior.
 
-Filenames mirror the reference: {prefix}model-checkpoint /
-best-model-checkpoint / final-model-checkpoint, as directories.
+Filenames (directories): "checkpoint" / "best-checkpoint" /
+"final-checkpoint" — one combined TrainState per name, vs the reference's
+separate {prefix}model-/cdae-checkpoint.pth.tar pairs.
 """
 
 import os
@@ -52,12 +53,24 @@ def save_checkpoint(state, meta: dict, path: str, filename: str = "checkpoint"):
         "leaves": {f"leaf_{i}": v for i, v in enumerate(leaves)},
         "meta": {k: np.asarray(v) for k, v in meta.items()},
     }
-    if os.path.exists(target):
-        import shutil
+    # write-new-then-swap: rmtree-ing the live checkpoint before the new
+    # save finalizes would destroy the only copy if the process dies in
+    # the window (the best-checkpoint is the NaN-halt recovery path)
+    import shutil
 
-        shutil.rmtree(target)
-    ckptr.save(target, payload)
+    tmp = target + ".tmp-save"
+    if os.path.exists(tmp):
+        shutil.rmtree(tmp)
+    ckptr.save(tmp, payload)
     ckptr.wait_until_finished()
+    old = target + ".tmp-old"
+    if os.path.exists(old):
+        shutil.rmtree(old)
+    if os.path.exists(target):
+        os.rename(target, old)
+    os.rename(tmp, target)
+    if os.path.exists(old):
+        shutil.rmtree(old)
 
 
 def load_checkpoint(abstract_state, path: str, filename: str = "checkpoint"):
@@ -82,7 +95,13 @@ def load_checkpoint(abstract_state, path: str, filename: str = "checkpoint"):
 
 def load_end_iter(path: str, filename: str = "best-checkpoint") -> int:
     """Final-mode end iteration from the best checkpoint
-    (reference utils/msc.py:98-110): i_ep = (epoch-1)*iters + batch_idx - 1."""
+    (reference utils/msc.py:98-110): i_ep = (epoch-1)*iters + batch_idx - 1.
+
+    Parity quirk, replicated deliberately: the meta encodes N completed
+    iterations at best-save, the -1 plus the drivers' stop-at-end_iter
+    check nets a final-mode run of exactly N-1 iterations — ONE SHORT of
+    the best checkpoint's count, exactly like the reference's
+    `(i_ep+1) > opt.end_iter` loop break (ivae_ardae.py:698-700)."""
     target = _ckpt_dir(path, filename)
     if not os.path.exists(target):
         raise ValueError(f"=> no checkpoint found at '{target}'")

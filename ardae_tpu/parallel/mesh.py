@@ -25,14 +25,23 @@ def make_mesh(n_devices: Optional[int] = None, axis_name: str = "data") -> Mesh:
     """1-D data-parallel mesh over the first n devices (default: all)."""
     devs = jax.devices()
     if n_devices is not None:
+        if n_devices > len(devs):
+            raise ValueError(
+                f"mesh needs {n_devices} devices but only {len(devs)} "
+                "are available")
         devs = devs[:n_devices]
     return Mesh(np.array(devs), (axis_name,))
 
 
 def sample_parallel_mesh(data: int, sample: int) -> Mesh:
     """2-D (data, sample) mesh: shard the batch AND the nz sample axis."""
-    devs = np.array(jax.devices()[: data * sample]).reshape(data, sample)
-    return Mesh(devs, ("data", "sample"))
+    devs = jax.devices()
+    if data * sample > len(devs):
+        raise ValueError(
+            f"mesh needs {data * sample} devices but only {len(devs)} "
+            "are available")
+    return Mesh(np.array(devs[: data * sample]).reshape(data, sample),
+                ("data", "sample"))
 
 
 def batch_sharding(mesh: Mesh, axis_name: str = "data") -> NamedSharding:
@@ -42,13 +51,3 @@ def batch_sharding(mesh: Mesh, axis_name: str = "data") -> NamedSharding:
 
 def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
-
-
-def shard_batch(batch, mesh: Mesh, axis_name: str = "data"):
-    return jax.device_put(batch, batch_sharding(mesh, axis_name))
-
-
-def replicate_state(state, mesh: Mesh):
-    """Replicate a TrainState pytree across the mesh."""
-    sharding = replicated(mesh)
-    return jax.device_put(state, sharding)

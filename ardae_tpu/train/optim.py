@@ -47,7 +47,11 @@ def torch_adam(lr, b1: float = 0.9, b2: float = 0.999, eps: float = 1e-8,
     ``lr`` may be a float or a schedule(count)->lr callable."""
 
     def init_fn(params):
-        # independent buffers (not one aliased pytree): donation-safe
+        # independent buffers (not one aliased pytree): donation-safe.
+        # max_nu is allocated even when amsgrad=False: a params-sized zeros
+        # tree costs only MBs at this model scale, and keeping ONE state
+        # structure keeps every saved checkpoint restorable across modes
+        # (orbax restores by leaf position).
         return _AdamState(
             jnp.zeros([], jnp.int32),
             jax.tree.map(jnp.zeros_like, params),
@@ -165,6 +169,9 @@ def build_optimizer(name: str, lr: float, beta1: float = 0.5, momentum: float = 
     """Optimizer factory mirroring the driver flags
     (reference ivae_ardae.py:546-556, 618-629)."""
     if name == "sgd":
+        # no momentum, deliberately: the reference constructs
+        # optim.SGD(params, lr=...) with NO momentum argument
+        # (ivae_ardae.py:548) even though --m-momentum exists
         return torch_sgd(lr)
     if name == "adam":
         return torch_adam(lr, b1=beta1, b2=0.999)
