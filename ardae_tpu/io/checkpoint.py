@@ -73,15 +73,46 @@ def save_checkpoint(state, meta: dict, path: str, filename: str = "checkpoint"):
         shutil.rmtree(old)
 
 
+def _restore_with_recovery(target: str):
+    """Restore `target`, falling back to the write-then-swap temporaries.
+
+    save_checkpoint has a (tiny) crash window between os.rename(target, old)
+    and os.rename(tmp, target) where no live directory exists but a valid
+    copy survives as '.tmp-old' (previously-live, definitely complete) or
+    '.tmp-save' (finalized new save). Recover from those instead of silently
+    reporting 'no checkpoint' (ADVICE r2). Returns (restored, src) or None.
+    """
+    ckptr = ocp.StandardCheckpointer()
+    candidates = [(target, False),
+                  (target + ".tmp-old", True),
+                  (target + ".tmp-save", True)]
+    for cand, is_recovery in candidates:
+        if not os.path.exists(cand):
+            continue
+        try:
+            restored = _restore_local(ckptr, cand)
+        except Exception as e:
+            # a .tmp-save can be a partial write from the crashed save;
+            # an unreadable primary should still surface loudly
+            if not is_recovery:
+                raise
+            print(f"=> recovery candidate '{cand}' unreadable ({e}); skipping")
+            continue
+        if is_recovery:
+            print(f"=> recovered checkpoint from interrupted save: '{cand}'")
+        return restored, cand
+    return None
+
+
 def load_checkpoint(abstract_state, path: str, filename: str = "checkpoint"):
     """Restore (state, meta) or None if absent (reference prints and
     continues on a missing checkpoint — utils/msc.py:95-96)."""
     target = _ckpt_dir(path, filename)
-    if not os.path.exists(target):
+    rec = _restore_with_recovery(target)
+    if rec is None:
         print(f"=> no checkpoint found at '{target}'")
         return None
-    ckptr = ocp.StandardCheckpointer()
-    restored = _restore_local(ckptr, target)
+    restored, target = rec
     leaves_dict = restored["leaves"]
     leaves = [jax.numpy.asarray(leaves_dict[f"leaf_{i}"])
               for i in range(len(leaves_dict))]
@@ -103,10 +134,10 @@ def load_end_iter(path: str, filename: str = "best-checkpoint") -> int:
     the best checkpoint's count, exactly like the reference's
     `(i_ep+1) > opt.end_iter` loop break (ivae_ardae.py:698-700)."""
     target = _ckpt_dir(path, filename)
-    if not os.path.exists(target):
+    rec = _restore_with_recovery(target)
+    if rec is None:
         raise ValueError(f"=> no checkpoint found at '{target}'")
-    ckptr = ocp.StandardCheckpointer()
-    restored = _restore_local(ckptr, target)
+    restored, _ = rec
     meta = restored["meta"]
     i_ep = (int(meta["epoch"]) - 1) * int(meta["train_num_iters_per_epoch"]) + int(
         meta["batch_idx"]

@@ -50,6 +50,39 @@ def test_missing_checkpoint_returns_none(tmp_path):
     assert load_checkpoint(state, str(tmp_path), "nope") is None
 
 
+def test_crash_window_recovery(tmp_path):
+    """A crash between os.rename(target, old) and os.rename(tmp, target)
+    leaves only '.tmp-old'/'.tmp-save' on disk; load must recover from them
+    instead of reporting 'no checkpoint' (ADVICE r2)."""
+    import os
+
+    state = _make_state()
+    meta = {"i_ep": 7, "epoch": 1, "batch_idx": 7,
+            "train_num_iters_per_epoch": 14, "best_val_loss": -2.5}
+    save_checkpoint(state, meta, str(tmp_path), "checkpoint")
+    target = os.path.join(str(tmp_path), "checkpoint")
+
+    # simulate the crash window: live dir renamed away, new save not yet in
+    os.rename(target, target + ".tmp-old")
+    restored = load_checkpoint(state, str(tmp_path), "checkpoint")
+    assert restored is not None and restored[1]["i_ep"] == 7
+
+    # a finalized .tmp-save (crash after the old-dir rename in the NEXT save)
+    os.rename(target + ".tmp-old", target + ".tmp-save")
+    restored = load_checkpoint(state, str(tmp_path), "checkpoint")
+    assert restored is not None and restored[1]["i_ep"] == 7
+
+    # load_end_iter takes the same recovery path
+    os.rename(target + ".tmp-save", target + ".tmp-old")
+    assert load_end_iter(str(tmp_path), "checkpoint") == (1 - 1) * 14 + 7 - 1
+
+    # an unreadable .tmp-save (partial write) is skipped, not fatal
+    import shutil
+    shutil.rmtree(target + ".tmp-old")
+    os.makedirs(target + ".tmp-save")  # empty = maximally partial write
+    assert load_checkpoint(state, str(tmp_path), "checkpoint") is None
+
+
 def test_load_end_iter(tmp_path):
     state = _make_state()
     meta = {"i_ep": 41, "epoch": 3, "batch_idx": 13,
