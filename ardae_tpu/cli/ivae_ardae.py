@@ -424,7 +424,7 @@ def main(argv=None):
         get item-indexed tags), latent scatter/heatmap, the gt|latent and
         gt|latent|std{08,05,01,0} composites, and data-recon-gen panels
         (scatter+heatmap for toy; sampled + mean grids for mnist)."""
-        params = state.params_model
+        params = eval_params(state)
         mode = opt.train_mode
         kv = jax.random.fold_in(k_eval, i_ep)
         n_vis = min(20000, n_train)
@@ -630,7 +630,7 @@ def main(argv=None):
     if opt.dataset in ("swissroll", "25gaussians"):
         visualize(state, i_ep)
         # giant final heatmap dump (reference :1224-1260: ~1M samples, num=256)
-        params = state.params_model
+        params = eval_params(state)
         kd = jax.random.fold_in(k_eval, 999_979)
         n_dump = min(1_000_000, n_train)
         chunks_d, chunks_o, chunks_g, chunks_l = [], [], [], []

@@ -307,7 +307,7 @@ def main(argv=None):
         heatmap for toy datasets, sampled + mean image grids for mnist.
         (The reference's toy data-recon-gen tags are unformatted '{}/...'
         literals — a bug documented in README; here they get the mode.)"""
-        params = state.params_model
+        params = eval_params(state)
         mode = opt.train_mode
         kv = jax.random.fold_in(k_eval, i_ep)
         n_vis = min(20000, n_train)
@@ -465,7 +465,7 @@ def main(argv=None):
     if opt.dataset in ("swissroll", "25gaussians"):
         visualize(state, i_ep)
         # giant final heatmap dump (reference vae.py:676-721: ~1M samples, num=256)
-        params = state.params_model
+        params = eval_params(state)
         kd = jax.random.fold_in(k_eval, 999_979)
         n_dump = min(1_000_000, n_train)
         chunks_d, chunks_o, chunks_g, chunks_l = [], [], [], []
