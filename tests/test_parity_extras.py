@@ -202,3 +202,125 @@ def test_torch_adamw_parity():
 
     np.testing.assert_allclose(np.asarray(params["w"]),
                                tp.detach().numpy(), rtol=1e-5, atol=1e-6)
+
+
+def _run_ours(tx, p0, grads):
+    params = {"w": jnp.asarray(p0)}
+    state = tx.init(params)
+    for g in grads:
+        updates, state = tx.update({"w": jnp.asarray(g)}, state, params)
+        params = jax.tree.map(lambda p, u: p + u, params, updates)
+    return np.asarray(params["w"])
+
+
+def test_torch_adam_parity_vs_reference_vendored():
+    """torch_adam must track the reference's OWN vendored Adam
+    (/root/reference/utils/optim.py:50-110 — eps outside sqrt, step_size
+    carries sqrt(bc2)/bc1) step for step. This is flat-parity microdiff
+    probe (b) of VERDICT r2 item 6: the model optimizer's update law is
+    exactly the reference's, so it cannot explain the 0.098-nat residual."""
+    import sys
+    import types
+
+    import torch
+
+    # stub torchvision for the reference's utils package import chain
+    if "torchvision" not in sys.modules:
+        tv = types.ModuleType("torchvision")
+        tvu = types.ModuleType("torchvision.utils")
+        tvu.make_grid = None
+        tv.utils = tvu
+        sys.modules["torchvision"] = tv
+        sys.modules["torchvision.utils"] = tvu
+    sys.path.insert(0, "/root/reference")
+    try:
+        from utils.optim import Adam as RefAdam
+    finally:
+        sys.path.remove("/root/reference")
+
+    from ardae_tpu.train.optim import torch_adam
+
+    rng = np.random.default_rng(1)
+    p0 = rng.normal(size=(4, 3)).astype(np.float32)
+    grads = [rng.normal(size=(4, 3)).astype(np.float32) for _ in range(7)]
+
+    tp = torch.nn.Parameter(torch.tensor(p0.copy()))
+    topt = RefAdam([tp], lr=1e-3, betas=(0.5, 0.999), eps=1e-8)
+    for g in grads:
+        topt.zero_grad()
+        tp.grad = torch.tensor(g)
+        topt.step()
+
+    ours = _run_ours(torch_adam(1e-3, b1=0.5, b2=0.999, eps=1e-8), p0, grads)
+    np.testing.assert_allclose(ours, tp.detach().numpy(), rtol=1e-5, atol=1e-7)
+
+
+def test_torch_rmsprop_parity_vs_torch():
+    """torch_rmsprop must track torch.optim.RMSprop (momentum=0.5, the cdae
+    optimizer of every canonical config) step for step — eps OUTSIDE the
+    sqrt, momentum applied to the scaled update. Flat-parity microdiff probe
+    (b) of VERDICT r2 item 6 for the d-side optimizer."""
+    import torch
+
+    from ardae_tpu.train.optim import torch_rmsprop
+
+    rng = np.random.default_rng(2)
+    p0 = rng.normal(size=(6, 2)).astype(np.float32)
+    grads = [rng.normal(size=(6, 2)).astype(np.float32) for _ in range(7)]
+
+    tp = torch.nn.Parameter(torch.tensor(p0.copy()))
+    topt = torch.optim.RMSprop([tp], lr=1e-4, momentum=0.5)
+    for g in grads:
+        topt.zero_grad()
+        tp.grad = torch.tensor(g)
+        topt.step()
+
+    ours = _run_ours(torch_rmsprop(1e-4, momentum=0.5), p0, grads)
+    np.testing.assert_allclose(ours, tp.detach().numpy(), rtol=1e-5, atol=1e-7)
+
+
+def test_concat_encoder_init_law_matches_reference():
+    """Flat-parity microdiff probe (b), init side: the mlp-concat encoder's
+    layer fan-ins and init families must equal the reference ConcatEncoder
+    (toy.py:154-192): every Linear U(+-1/sqrt(fan_in)) with the noise column
+    inside the SAME fused first fc layer (fan_in = h_dim + noise_dim), and
+    the output head re-initialized N(0,1) (reset_parameters: normal_ on
+    weight only, bias left at the Linear default)."""
+    import jax
+
+    from ardae_tpu.models.ivae.toy import ToyIPVAE
+
+    h, nd, zd = 64, 10, 2
+    model = ToyIPVAE(input_dim=2, noise_dim=nd, h_dim=h, z_dim=zd,
+                     num_hidden_layers=2, enc_type="concat", nonlinearity="relu")
+    params = model.init(jax.random.PRNGKey(0), jnp.zeros((4, 2)),
+                        jnp.zeros((4, nd)))
+    flat = {}
+    def walk(tree, prefix=""):
+        if isinstance(tree, dict):
+            for k, v in tree.items():
+                walk(v, f"{prefix}/{k}")
+        else:
+            flat[prefix] = np.asarray(tree)
+    walk(params)
+
+    enc = {k: v for k, v in flat.items() if "/encode/" in k}
+    # hidden fc layers: kernel (h+noise_dim, h) — the context (noise) column
+    # is re-concatenated into EVERY layer (reference layers.py:700-724), so
+    # each layer is ONE fused Linear with init bound 1/sqrt(h+nd)
+    fused = [v for k, v in enc.items()
+             if v.ndim == 2 and v.shape == (h + nd, h)]
+    assert len(fused) == 2, \
+        f"expected 2 fused hidden kernels: { {k: v.shape for k, v in enc.items()} }"
+    bound = 1.0 / np.sqrt(h + nd)
+    for k0 in fused:
+        assert np.abs(k0).max() <= bound + 1e-6
+        # uniform with that bound, not a narrower one: max |w| near the bound
+        assert np.abs(k0).max() > 0.9 * bound
+    # output head: Linear(h+nd -> z_dim), weight re-initialized N(0,1)
+    # (reference toy.py reset_parameters: normal_ on fc.fc.weight only)
+    heads = [v for k, v in enc.items()
+             if v.ndim == 2 and v.shape == (h + nd, zd)]
+    assert len(heads) == 1, {k: v.shape for k, v in enc.items()}
+    w = heads[0]
+    assert w.std() > 0.8  # N(0,1) over 148 draws; uniform would be ~0.067
