@@ -78,14 +78,20 @@ def _restore_with_recovery(target: str):
 
     save_checkpoint has a (tiny) crash window between os.rename(target, old)
     and os.rename(tmp, target) where no live directory exists but a valid
-    copy survives as '.tmp-old' (previously-live, definitely complete) or
-    '.tmp-save' (finalized new save). Recover from those instead of silently
-    reporting 'no checkpoint' (ADVICE r2). Returns (restored, src) or None.
+    copy survives as '.tmp-save' (the finalized NEW save — ckptr.save +
+    wait_until_finished completed before any rename) or '.tmp-old'
+    (previously-live, one save interval stale). Recover from those instead
+    of silently reporting 'no checkpoint' (ADVICE r2). '.tmp-save' is
+    preferred over '.tmp-old' (ADVICE r3: in the rename-window crash both
+    exist and '.tmp-save' is newer); the unreadable-skip below handles the
+    other case where '.tmp-save' is a PARTIAL write — which can only occur
+    alongside a preferred live target, or alone after a first-ever-save
+    crash. Returns (restored, src) or None.
     """
     ckptr = ocp.StandardCheckpointer()
     candidates = [(target, False),
-                  (target + ".tmp-old", True),
-                  (target + ".tmp-save", True)]
+                  (target + ".tmp-save", True),
+                  (target + ".tmp-old", True)]
     for cand, is_recovery in candidates:
         if not os.path.exists(cand):
             continue

@@ -159,7 +159,8 @@ def reconstruct(module, params, key, x):
     return sample_gaussian(k_dec, mu, logvar), mu, z_flat
 
 
-def logprob_iws(module, params, key, x, sample_size, jitter=0.0, noise_std=None):
+def logprob_iws(module, params, key, x, sample_size, jitter=0.0, noise_std=None,
+                reduce="mean"):
     """IWS log-likelihood with a covariance-Gaussian pseudo-posterior.
 
     Vmapped re-design of reference models/ivae/mnist.py:378-437 (flat) and
@@ -192,7 +193,8 @@ def logprob_iws(module, params, key, x, sample_size, jitter=0.0, noise_std=None)
 
     loglikelihood, logprior = _loglik_and_prior(module, params, x, newz)
     logw = loglikelihood + logprior - logposterior  # (bsz, ssz)
-    return jnp.mean(iwae_bound(logw, axis=1))
+    per_item = iwae_bound(logw, axis=1)
+    return jnp.mean(per_item) if reduce == "mean" else per_item
 
 
 def _loglik_and_prior(module, params, x, newz):

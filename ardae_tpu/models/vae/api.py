@@ -30,8 +30,10 @@ def _recon(module, dist_params, target_flat):
     )
 
 
-def vae_loss(module, params, key, x, beta=1.0, compute_dtype=None):
-    """mean(recon + beta * KLD). Returns (loss, terms).
+def vae_loss(module, params, key, x, beta=1.0, compute_dtype=None,
+             reduce="mean"):
+    """mean(recon + beta * KLD). Returns (loss, terms); ``reduce='none'``
+    returns the per-item loss vector instead of its mean (eval-tail masking).
 
     ``compute_dtype='bfloat16'`` runs encoder/decoder matmuls in bf16 (params
     cast inside, fp32 master params receive fp32 grads through the cast's
@@ -73,7 +75,8 @@ def vae_loss(module, params, key, x, beta=1.0, compute_dtype=None):
     )
     dist_params = jax.tree.map(lambda d: d.astype(jnp.float32), dist_params)
     recon = _recon(module, dist_params, x)
-    loss = jnp.mean(recon + beta * kld)
+    per_item = recon + beta * kld
+    loss = jnp.mean(per_item) if reduce == "mean" else per_item
     return loss, {"recon": jnp.mean(recon), "kld": jnp.mean(kld), "z": z}
 
 
@@ -117,7 +120,7 @@ def reconstruct(module, params, key, x):
     return sample_gaussian(k_dec, mu, logvar), mu, z
 
 
-def logprob_iwae(module, params, key, x, sample_size):
+def logprob_iwae(module, params, key, x, sample_size, reduce="mean"):
     """IWAE bound with the exact Gaussian q (reference models/vae/mnist.py:179-220)."""
     bsz = x.shape[0]
     zdim = module.z_dim
@@ -164,4 +167,5 @@ def logprob_iwae(module, params, key, x, sample_size):
         loglikelihood = jnp.sum(logprob_gaussian(mu_x, logvar_x, target), axis=-1)
 
     logw = loglikelihood + logprior - logposterior
-    return jnp.mean(iwae_bound(logw, axis=1))
+    per_item = iwae_bound(logw, axis=1)
+    return jnp.mean(per_item) if reduce == "mean" else per_item

@@ -297,7 +297,8 @@ def _recon(module, dist_params, target_flat):
     )
 
 
-def aux_vae_loss(module, params, key, x, beta=1.0, compute_dtype=None):
+def aux_vae_loss(module, params, key, x, beta=1.0, compute_dtype=None,
+                 reduce="mean"):
     """recon + beta*KL(q(z)) + beta*KL(q(z0)||r(z0|x,z))
     (reference models/vae/auxmnist.py:313-361).
 
@@ -331,7 +332,8 @@ def aux_vae_loss(module, params, key, x, beta=1.0, compute_dtype=None):
     recon = _recon(module, dist_params, x)
     kld = loss_kld_gaussian(mu, lv, reduce="per_item")
     aux_kld = loss_kld_gaussian_vs_gaussian(mu0, lv0, mup0, lvp0, reduce="per_item")
-    loss = jnp.mean(recon + beta * kld + beta * aux_kld)
+    per_item = recon + beta * kld + beta * aux_kld
+    loss = jnp.mean(per_item) if reduce == "mean" else per_item
     return loss, {
         "recon": jnp.mean(recon),
         "kld": jnp.mean(kld) + jnp.mean(aux_kld),  # logged combined (reference :361)
@@ -339,7 +341,7 @@ def aux_vae_loss(module, params, key, x, beta=1.0, compute_dtype=None):
     }
 
 
-def aux_logprob_iwae(module, params, key, x, sample_size):
+def aux_logprob_iwae(module, params, key, x, sample_size, reduce="mean"):
     """Hierarchical IWAE: logw = ll + log p(z) + log r(z0|x,z)
     - log q(z|x,z0) - log q(z0|x) (reference models/vae/auxmnist.py:381-451),
     with one vectorized pass over bsz*ssz rows."""
@@ -366,4 +368,5 @@ def aux_logprob_iwae(module, params, key, x, sample_size):
     ll = -_recon(module, dist_params, target)
 
     logw = (ll + log_pz + log_pz0 - log_qz - log_qz0).reshape(bsz, sample_size)
-    return jnp.mean(iwae_bound(logw, axis=1))
+    per_item = iwae_bound(logw, axis=1)
+    return jnp.mean(per_item) if reduce == "mean" else per_item

@@ -122,11 +122,13 @@ REFERENCE_VAE_STEPS_PER_SEC = float(
     os.environ.get("ARDAE_BASELINE_VAE", "14.81"))
 
 PEAK_FLOPS_BF16 = 197e12  # TPU v5e
-# v5e publishes no fp32 matmul spec (the MXU is a bf16 systolic array; JAX's
-# default precision executes fp32-input matmuls as bf16 passes with fp32
-# accumulation). We use the conventional bf16/2 effective ceiling for the
-# fp32 row so its MFU is not understated against a peak it cannot reach.
-PEAK_FLOPS_FP32 = PEAK_FLOPS_BF16 / 2
+# v5e publishes no fp32 matmul spec (the MXU is a bf16 systolic array). JAX's
+# DEFAULT matmul precision on TPU lowers fp32-input matmuls to a SINGLE bf16
+# pass with fp32 accumulation, so the achievable ceiling of the fp32-labeled
+# row is the full bf16 peak — an earlier /2 "effective ceiling" overstated
+# that row's MFU (ADVICE r3). True multi-pass fp32 emulation (precision=
+# 'highest') would be ~1/3-1/6 of peak, but no bench row requests it.
+PEAK_FLOPS_FP32 = PEAK_FLOPS_BF16
 PEAK_HBM_BYTES = 819e9
 # hbm_util uses XLA cost-analysis "bytes accessed" (not measured DRAM
 # traffic): VMEM reuse means values > 1.0 are possible (BASELINE.md roofline).

@@ -24,7 +24,8 @@ exact same binary matrix (scripts/aux_parity_eval_ours_mnist.py consumes the
 same items).
 
 Env knobs: PARITY_SEED (default 1), PARITY_STEPS (3000), PARITY_EVAL_EVERY
-(1000). Run from /root/repo.
+(1000), PARITY_DELTA (0.1), PARITY_STD_SCALE (10000 — set 100 for the
+knob-search winning regime). Run from /root/repo.
 """
 import os
 import sys
@@ -57,7 +58,8 @@ NZ_CDAE = int(os.environ.get("PARITY_NZ", 64))
 NZ_MODEL = 1
 Z_DIM, H_MODEL, NHL, NOISE_DIM = 32, 300, 2, 100
 H_CDAE, CDAE_NHL = 256, 5
-DELTA, STD_SCALE = 0.1, 10000.0
+DELTA = float(os.environ.get("PARITY_DELTA", 0.1))
+STD_SCALE = float(os.environ.get("PARITY_STD_SCALE", 10000.0))
 M_LR = D_LR = 1e-4
 BETA = 1.0  # canonical auxmnist: beta-init 1.0, beta-fin 1.0, no annealing
 STEPS = int(os.environ.get("PARITY_STEPS", 3000))

@@ -81,6 +81,18 @@ def test_crash_window_recovery(tmp_path):
     shutil.rmtree(target + ".tmp-old")
     os.makedirs(target + ".tmp-save")  # empty = maximally partial write
     assert load_checkpoint(state, str(tmp_path), "checkpoint") is None
+    shutil.rmtree(target + ".tmp-save")
+
+    # exact rename-window crash: BOTH temporaries exist and the finalized
+    # '.tmp-save' is the NEWER save — it must win over '.tmp-old', which
+    # would silently roll back one save interval (ADVICE r3)
+    save_checkpoint(state, {**meta, "i_ep": 8}, str(tmp_path), "checkpoint")
+    os.rename(target, target + ".newer-aside")     # stage the newer save
+    save_checkpoint(state, meta, str(tmp_path), "checkpoint")
+    os.rename(target, target + ".tmp-old")         # previously-live (i_ep=7)
+    os.rename(target + ".newer-aside", target + ".tmp-save")  # newer (i_ep=8)
+    restored = load_checkpoint(state, str(tmp_path), "checkpoint")
+    assert restored is not None and restored[1]["i_ep"] == 8
 
 
 def test_load_end_iter(tmp_path):
