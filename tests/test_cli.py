@@ -452,15 +452,20 @@ def test_eval_batch_size_honored(monkeypatch):
     shapes = []
     real = api.logprob_iws
 
-    def spy(model, params, key, x, n, jitter=0.0):
+    def spy(model, params, key, x, n, jitter=0.0, reduce="mean"):
         shapes.append(int(x.shape[0]))  # trace-time: one entry per shape
-        return real(model, params, key, x, n, jitter=jitter)
+        return real(model, params, key, x, n, jitter=jitter, reduce=reduce)
 
+    from ardae_tpu.cli import common
+    common._EVAL_FN_CACHE.clear()  # force a fresh trace through the spy
     monkeypatch.setattr(api, "logprob_iws", spy)
     lp = evaluate_iws_ivae(model, params, data, 4, jax.random.PRNGKey(1),
                            batch=3)
     assert np.isfinite(lp)
-    assert shapes == [3, 1]  # two full batches of 3 (one trace) + tail of 1
+    # 7 items at batch=3: two full batches + a 1-row tail PADDED to 3 —
+    # exactly ONE traced shape, and it is the requested batch size
+    assert shapes == [3]
+    common._EVAL_FN_CACHE.clear()  # don't leave the spy'd fn cached
 
 
 @pytest.mark.slow
