@@ -35,6 +35,7 @@ CLAUDE.md) is caught by a subprocess preflight probe with a timeout, and any
 failure path emits {"error": ..., "value": null} before exiting nonzero.
 """
 
+import datetime
 import json
 import os
 import subprocess
@@ -371,6 +372,11 @@ def main():
         "hbm_util_definition": HBM_UTIL_DEFINITION,
         "platform": _platform,
         "spread": [primary["min"], primary["max"]],
+        # self-dating so in-session snapshots (BENCH_LOCAL.json) carry their
+        # capture time even when the end-of-round driver capture hits a dead
+        # tunnel (VERDICT r3 item 2)
+        "captured_at": datetime.datetime.now(datetime.timezone.utc)
+        .strftime("%Y-%m-%dT%H:%M:%SZ"),
         "rows": rows,
     }))
 
