@@ -10,9 +10,15 @@ with numpy rng(1234). This removes the item-set/binarization confound when
 comparing the implicit rows (reference-law cov-Gaussian eval) against the
 Gaussian baseline rows: same 500 binary images, same sample count.
 
+`--law cov` additionally scores the SAME checkpoint under the IMPLICIT
+side's estimator (the reference's cov-Gaussian pseudo-posterior law,
+auxmnist.py:297-358: fit N(mu,cov) to 64 posterior z draws, re-sample,
+importance-weight) so the cross-law estimator gap of the pair table is
+itself measured rather than assumed small.
+
 Usage:
   python scripts/aux_parity_eval_baseline_mnist.py <experiment_dir> \
-      [checkpoint|best-checkpoint] [--seed N]
+      [checkpoint|best-checkpoint] [--seed N] [--lr LR] [--law exact|cov]
 """
 import os
 import sys
@@ -48,6 +54,9 @@ def main():
     lr = 1e-4
     if "--lr" in sys.argv:
         lr = float(sys.argv[sys.argv.index("--lr") + 1])
+    law = "exact"
+    if "--law" in sys.argv:
+        law = sys.argv[sys.argv.index("--law") + 1]
 
     model = build_vae_model(
         "auxmnist", nchannels=1, nheight=28, z_dim=Z_DIM, h_dim=H_MODEL,
@@ -72,13 +81,50 @@ def main():
         (np.random.default_rng(1234).random(val_probs.shape) < val_probs)
         .astype(np.float32))
 
-    fn = jax.jit(lambda p, x, k: aux_logprob_iwae(model, p, k, x, SS))
+    if law == "cov":
+        # the implicit side's estimator applied to the Gaussian baseline:
+        # draw SS hierarchical posterior samples, fit N(mu, cov), re-sample,
+        # importance-weight (reference auxmnist.py:297-358 semantics; same
+        # relative jitter floor as models/ivae/api.logprob_iws)
+        from ardae_tpu.core.losses import iwae_bound
+        from ardae_tpu.core.rng import sample_gaussian
+        from ardae_tpu.core.stats import covmat, mvn_logprob
+        from ardae_tpu.models.ivae import api as ivae_api
+
+        zdim = Z_DIM
+
+        def cov_law(p, x, k):
+            bsz = x.shape[0]
+            k0, k1, k_new = jax.random.split(k, 3)
+            feats = model.apply(p, x, method=model.trunk_feats)
+            mu0, lv0 = model.apply(p, feats, method=model.aux_params)
+            mu0r = jnp.repeat(mu0, SS, axis=0)
+            lv0r = jnp.repeat(lv0, SS, axis=0)
+            z0 = sample_gaussian(k0, mu0r, lv0r)
+            mu, lv = model.apply(p, feats, z0, SS, method=model.main_params)
+            z = sample_gaussian(k1, mu, lv).reshape(bsz, SS, zdim)
+            mu_qz = jnp.mean(z, axis=1)
+            cov = jax.vmap(covmat)(z) + 1e-5 * jnp.eye(zdim)
+            mean_diag = jnp.mean(jnp.diagonal(cov, axis1=-2, axis2=-1), -1)
+            cov = cov + (1e-6 * mean_diag + 1e-30)[:, None, None] * jnp.eye(zdim)
+            chol = jnp.linalg.cholesky(cov)
+            eps = jax.random.normal(k_new, (bsz, SS, zdim))
+            newz = mu_qz[:, None, :] + jnp.einsum("bij,bsj->bsi", chol, eps)
+            logpost = jax.vmap(mvn_logprob)(newz, mu_qz, chol)
+            ll, lp = ivae_api._loglik_and_prior(model, p, x, newz)
+            return jnp.mean(iwae_bound(ll + lp - logpost, axis=1))
+
+        fn = jax.jit(cov_law)
+        label = "cov-Gaussian (implicit-side) law"
+    else:
+        fn = jax.jit(lambda p, x, k: aux_logprob_iwae(model, p, k, x, SS))
+        label = "exact-q hierarchical law"
     tot = 0.0
     k = jax.random.PRNGKey(seed + 100)
     for lo in range(0, val_bin.shape[0], 50):
         k, sub = jax.random.split(k)
         tot += float(fn(state.params_model, val_bin[lo:lo + 50], sub)) * 50
-    print(f"BASELINE auxmnist val IWS-{SS} (exact-q hierarchical law, "
+    print(f"BASELINE auxmnist val IWS-{SS} ({label}, "
           f"seed {seed}): {tot / val_bin.shape[0]:.4f}")
 
 
