@@ -113,13 +113,18 @@ def enable_compile_cache():
 # jitted per-batch eval fns, keyed on (kind, module, samples, extra): flax
 # modules hash structurally, so every eval cadence of a run (and every run of
 # the same config in one process) reuses ONE traced program instead of
-# re-tracing a fresh closure per call (round-3 VERDICT weak item 3)
+# re-tracing a fresh closure per call (round-3 VERDICT weak item 3).
+# FIFO-bounded: a driver run touches 1-2 keys, but a long-lived multi-config
+# process (pytest) would otherwise pin every compiled executable forever.
 _EVAL_FN_CACHE = {}
+_EVAL_FN_CACHE_MAX = 8
 
 
 def _cached_eval_fn(key, builder):
     fn = _EVAL_FN_CACHE.get(key)
     if fn is None:
+        while len(_EVAL_FN_CACHE) >= _EVAL_FN_CACHE_MAX:
+            _EVAL_FN_CACHE.pop(next(iter(_EVAL_FN_CACHE)))
         fn = _EVAL_FN_CACHE[key] = builder()
     return fn
 
@@ -162,7 +167,7 @@ def evaluate_iws_ivae(model, params, eval_data, iws_samples, key,
         @jax.jit
         def one(params, x, key):
             return logprob_iws(model, params, key, x, iws_samples,
-                               jitter=jitter, reduce="none")
+                               jitter=jitter, reduce="per_item")
         return one
 
     one = _cached_eval_fn(("iws_ivae", model, iws_samples, jitter), build)
@@ -202,8 +207,8 @@ def evaluate_iwae_vae(model, params, eval_data, iws_samples, key,
         @jax.jit
         def one(params, x, key):
             k1, k2 = jax.random.split(key)
-            lp = lp_fn(model, params, k1, x, iws_samples, reduce="none")
-            loss, _ = loss_fn(model, params, k2, x, reduce="none")
+            lp = lp_fn(model, params, k1, x, iws_samples, reduce="per_item")
+            loss, _ = loss_fn(model, params, k2, x, reduce="per_item")
             return lp, loss
         return one
 

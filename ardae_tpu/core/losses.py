@@ -25,6 +25,19 @@ def _reduce(elem: jax.Array, reduce: str) -> jax.Array:
     raise ValueError(f"unknown reduce mode: {reduce}")
 
 
+def reduce_batch(per_item: jax.Array, reduce: str) -> jax.Array:
+    """Batch-level reduction for already-per-item losses/bounds:
+    ``reduce='mean'`` -> scalar mean over the batch axis, ``'per_item'`` ->
+    the (bsz,) vector unchanged (eval-tail masking). Fails fast on anything
+    else — the elementwise vocabulary of :func:`_reduce` does not apply at
+    this level."""
+    if reduce == "mean":
+        return jnp.mean(per_item)
+    if reduce == "per_item":
+        return per_item
+    raise ValueError(f"reduce must be 'mean' or 'per_item', got {reduce!r}")
+
+
 def loss_recon_bernoulli_with_logit(logit, x, reduce: str = "per_item"):
     """Bernoulli negative log-likelihood from logits.
 

@@ -112,7 +112,13 @@ def _restore_with_recovery(target: str):
 
 def load_checkpoint(abstract_state, path: str, filename: str = "checkpoint"):
     """Restore (state, meta) or None if absent (reference prints and
-    continues on a missing checkpoint — utils/msc.py:95-96)."""
+    continues on a missing checkpoint — utils/msc.py:95-96).
+
+    If the caller's skeleton omits the weight-averaging slots
+    (``avg_params_model is None``) but the saved state carries them (a
+    ``--m-weight-avg polyak/swa`` run), the skeleton is widened
+    automatically — standalone evaluators don't need to know the training
+    run's averaging flag in advance."""
     target = _ckpt_dir(path, filename)
     rec = _restore_with_recovery(target)
     if rec is None:
@@ -123,6 +129,14 @@ def load_checkpoint(abstract_state, path: str, filename: str = "checkpoint"):
     leaves = [jax.numpy.asarray(leaves_dict[f"leaf_{i}"])
               for i in range(len(leaves_dict))]
     treedef = jax.tree.structure(abstract_state)
+    if (treedef.num_leaves != len(leaves)
+            and getattr(abstract_state, "avg_params_model", True) is None):
+        avg_skel = jax.tree.map(lambda x: x, abstract_state.params_model)
+        abstract_state = abstract_state.replace(
+            avg_params_model=avg_skel,
+            avg_count=jax.numpy.zeros([], jax.numpy.int32))
+        treedef = jax.tree.structure(abstract_state)
+        print("=> checkpoint carries averaged params; widened the skeleton")
     state = jax.tree.unflatten(treedef, leaves)
     meta = {k: np.asarray(v).item() if np.asarray(v).ndim == 0 else np.asarray(v)
             for k, v in restored["meta"].items()}

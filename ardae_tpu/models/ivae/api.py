@@ -19,6 +19,7 @@ from ardae_tpu.core.losses import (
     iwae_bound,
     loss_recon_bernoulli_with_logit,
     loss_recon_gaussian,
+    reduce_batch,
 )
 from ardae_tpu.core.energy import normal_energy_func
 from ardae_tpu.core.stats import covmat, logprob_gaussian, mvn_logprob
@@ -169,12 +170,24 @@ def logprob_iws(module, params, key, x, sample_size, jitter=0.0, noise_std=None,
     Cholesky + triangular solve + a single decode over bsz*ssz rows.
     Requires sample_size >= 2*z_dim for a full-rank covariance.
     """
-    bsz = x.shape[0]
-    zdim = module.z_dim
     k_enc, k_new = jax.random.split(key)
 
     # implicit posterior samples: (bsz, ssz, zdim)
     z = sample_latents(module, params, k_enc, x, sample_size, noise_std)
+    per_item = cov_gaussian_iws_from_draws(module, params, x, z, k_new, jitter)
+    return reduce_batch(per_item, reduce)
+
+
+def cov_gaussian_iws_from_draws(module, params, x, z, key, jitter=0.0):
+    """The cov-Gaussian pseudo-posterior bound given posterior draws
+    z (bsz, ssz, zdim): fit N(mu, cov), re-sample, importance-weight.
+
+    Factored out of :func:`logprob_iws` so the cross-law parity scripts
+    (scoring a Gaussian baseline under the implicit side's estimator) apply
+    the EXACT same fit/floor/reweight code path — any future tuning of the
+    jitter floor or sampling changes both consumers together. Returns the
+    per-item (bsz,) bound."""
+    bsz, ssz, zdim = z.shape
     mu_qz = jnp.mean(z, axis=1)  # (bsz, zdim)
     cov = jax.vmap(covmat)(z) + jitter * jnp.eye(zdim)  # (bsz, zdim, zdim)
     # relative jitter floor: an early/collapsed posterior can make the sample
@@ -187,14 +200,13 @@ def logprob_iws(module, params, key, x, sample_size, jitter=0.0, noise_std=None,
     chol = jnp.linalg.cholesky(cov)
 
     # newz ~ N(mu_qz, cov) and its log-density
-    eps = jax.random.normal(k_new, (bsz, sample_size, zdim))
+    eps = jax.random.normal(key, (bsz, ssz, zdim))
     newz = mu_qz[:, None, :] + jnp.einsum("bij,bsj->bsi", chol, eps)
     logposterior = jax.vmap(mvn_logprob)(newz, mu_qz, chol)  # (bsz, ssz)
 
     loglikelihood, logprior = _loglik_and_prior(module, params, x, newz)
     logw = loglikelihood + logprior - logposterior  # (bsz, ssz)
-    per_item = iwae_bound(logw, axis=1)
-    return jnp.mean(per_item) if reduce == "mean" else per_item
+    return iwae_bound(logw, axis=1)
 
 
 def _loglik_and_prior(module, params, x, newz):

@@ -13,6 +13,7 @@ from ardae_tpu.core.losses import (
     loss_kld_gaussian,
     loss_recon_bernoulli_with_logit,
     loss_recon_gaussian,
+    reduce_batch,
 )
 from ardae_tpu.core.stats import logprob_gaussian
 from ardae_tpu.core.rng import sample_gaussian
@@ -32,7 +33,7 @@ def _recon(module, dist_params, target_flat):
 
 def vae_loss(module, params, key, x, beta=1.0, compute_dtype=None,
              reduce="mean"):
-    """mean(recon + beta * KLD). Returns (loss, terms); ``reduce='none'``
+    """mean(recon + beta * KLD). Returns (loss, terms); ``reduce='per_item'``
     returns the per-item loss vector instead of its mean (eval-tail masking).
 
     ``compute_dtype='bfloat16'`` runs encoder/decoder matmuls in bf16 (params
@@ -76,7 +77,7 @@ def vae_loss(module, params, key, x, beta=1.0, compute_dtype=None,
     dist_params = jax.tree.map(lambda d: d.astype(jnp.float32), dist_params)
     recon = _recon(module, dist_params, x)
     per_item = recon + beta * kld
-    loss = jnp.mean(per_item) if reduce == "mean" else per_item
+    loss = reduce_batch(per_item, reduce)
     return loss, {"recon": jnp.mean(recon), "kld": jnp.mean(kld), "z": z}
 
 
@@ -168,4 +169,4 @@ def logprob_iwae(module, params, key, x, sample_size, reduce="mean"):
 
     logw = loglikelihood + logprior - logposterior
     per_item = iwae_bound(logw, axis=1)
-    return jnp.mean(per_item) if reduce == "mean" else per_item
+    return reduce_batch(per_item, reduce)

@@ -29,6 +29,7 @@ from ardae_tpu.core.losses import (
     loss_kld_gaussian_vs_gaussian,
     loss_recon_bernoulli_with_logit,
     loss_recon_gaussian,
+    reduce_batch,
 )
 from ardae_tpu.core.rng import sample_gaussian
 from ardae_tpu.core.stats import logprob_gaussian
@@ -333,7 +334,7 @@ def aux_vae_loss(module, params, key, x, beta=1.0, compute_dtype=None,
     kld = loss_kld_gaussian(mu, lv, reduce="per_item")
     aux_kld = loss_kld_gaussian_vs_gaussian(mu0, lv0, mup0, lvp0, reduce="per_item")
     per_item = recon + beta * kld + beta * aux_kld
-    loss = jnp.mean(per_item) if reduce == "mean" else per_item
+    loss = reduce_batch(per_item, reduce)
     return loss, {
         "recon": jnp.mean(recon),
         "kld": jnp.mean(kld) + jnp.mean(aux_kld),  # logged combined (reference :361)
@@ -369,4 +370,4 @@ def aux_logprob_iwae(module, params, key, x, sample_size, reduce="mean"):
 
     logw = (ll + log_pz + log_pz0 - log_qz - log_qz0).reshape(bsz, sample_size)
     per_item = iwae_bound(logw, axis=1)
-    return jnp.mean(per_item) if reduce == "mean" else per_item
+    return reduce_batch(per_item, reduce)

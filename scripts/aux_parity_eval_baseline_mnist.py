@@ -74,6 +74,8 @@ def main():
         sys.exit(f"no {flavor} under {exp_dir}")
     state, meta = restored
     print(f"loaded {flavor} at i_ep={meta['i_ep']}")
+    params_eval = (state.params_model if state.avg_params_model is None
+                   else state.avg_params_model)
 
     data = get_mnist("dbmnist-val5k", root="data")
     val_probs = np.asarray(data["val"][:N_EVAL_ITEMS], np.float32)
@@ -83,15 +85,12 @@ def main():
 
     if law == "cov":
         # the implicit side's estimator applied to the Gaussian baseline:
-        # draw SS hierarchical posterior samples, fit N(mu, cov), re-sample,
-        # importance-weight (reference auxmnist.py:297-358 semantics; same
-        # relative jitter floor as models/ivae/api.logprob_iws)
-        from ardae_tpu.core.losses import iwae_bound
+        # draw SS hierarchical posterior samples, then hand them to the SAME
+        # fit-N(mu,cov)/floor/reweight code path the implicit rows are scored
+        # with (models/ivae/api.cov_gaussian_iws_from_draws; jitter=1e-5 is
+        # the aux-family value, reference auxmnist.py:297-358)
         from ardae_tpu.core.rng import sample_gaussian
-        from ardae_tpu.core.stats import covmat, mvn_logprob
-        from ardae_tpu.models.ivae import api as ivae_api
-
-        zdim = Z_DIM
+        from ardae_tpu.models.ivae.api import cov_gaussian_iws_from_draws
 
         def cov_law(p, x, k):
             bsz = x.shape[0]
@@ -102,17 +101,9 @@ def main():
             lv0r = jnp.repeat(lv0, SS, axis=0)
             z0 = sample_gaussian(k0, mu0r, lv0r)
             mu, lv = model.apply(p, feats, z0, SS, method=model.main_params)
-            z = sample_gaussian(k1, mu, lv).reshape(bsz, SS, zdim)
-            mu_qz = jnp.mean(z, axis=1)
-            cov = jax.vmap(covmat)(z) + 1e-5 * jnp.eye(zdim)
-            mean_diag = jnp.mean(jnp.diagonal(cov, axis1=-2, axis2=-1), -1)
-            cov = cov + (1e-6 * mean_diag + 1e-30)[:, None, None] * jnp.eye(zdim)
-            chol = jnp.linalg.cholesky(cov)
-            eps = jax.random.normal(k_new, (bsz, SS, zdim))
-            newz = mu_qz[:, None, :] + jnp.einsum("bij,bsj->bsi", chol, eps)
-            logpost = jax.vmap(mvn_logprob)(newz, mu_qz, chol)
-            ll, lp = ivae_api._loglik_and_prior(model, p, x, newz)
-            return jnp.mean(iwae_bound(ll + lp - logpost, axis=1))
+            z = sample_gaussian(k1, mu, lv).reshape(bsz, SS, Z_DIM)
+            return jnp.mean(
+                cov_gaussian_iws_from_draws(model, p, x, z, k_new, jitter=1e-5))
 
         fn = jax.jit(cov_law)
         label = "cov-Gaussian (implicit-side) law"
@@ -123,7 +114,8 @@ def main():
     k = jax.random.PRNGKey(seed + 100)
     for lo in range(0, val_bin.shape[0], 50):
         k, sub = jax.random.split(k)
-        tot += float(fn(state.params_model, val_bin[lo:lo + 50], sub)) * 50
+        chunk = val_bin[lo:lo + 50]
+        tot += float(fn(params_eval, chunk, sub)) * chunk.shape[0]
     print(f"BASELINE auxmnist val IWS-{SS} ({label}, "
           f"seed {seed}): {tot / val_bin.shape[0]:.4f}")
 

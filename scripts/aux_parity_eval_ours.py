@@ -104,6 +104,8 @@ def main():
         sys.exit(f"no {flavor} under {exp_dir}")
     state, meta = restored
     print(f"loaded {flavor} at i_ep={meta['i_ep']}")
+    params_eval = (state.params_model if state.avg_params_model is None
+                   else state.avg_params_model)
 
     rng = np.random.default_rng(7)
     _ = gen25(200_000, rng)  # advance the rng exactly like training data gen
@@ -115,7 +117,8 @@ def main():
     k = jax.random.PRNGKey(seed + 100)
     for lo in range(0, test.shape[0], 100):
         k, sub = jax.random.split(k)
-        tot += float(fn(state.params_model, test[lo:lo + 100], sub)) * 100
+        chunk = test[lo:lo + 100]
+        tot += float(fn(params_eval, chunk, sub)) * chunk.shape[0]
     print(f"OURS aux test IWS-64 (reference law, seed {seed}):",
           tot / test.shape[0])
 

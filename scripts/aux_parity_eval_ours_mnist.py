@@ -69,6 +69,8 @@ def main():
         sys.exit(f"no {flavor} under {exp_dir}")
     state, meta = restored
     print(f"loaded {flavor} at i_ep={meta['i_ep']}")
+    params_eval = (state.params_model if state.avg_params_model is None
+                   else state.avg_params_model)
 
     data = get_mnist("dbmnist-val5k", root="data")
     val_probs = np.asarray(data["val"][:N_EVAL_ITEMS], np.float32)
@@ -82,7 +84,8 @@ def main():
     k = jax.random.PRNGKey(seed + 100)
     for lo in range(0, val_bin.shape[0], 50):
         k, sub = jax.random.split(k)
-        tot += float(fn(state.params_model, val_bin[lo:lo + 50], sub)) * 50
+        chunk = val_bin[lo:lo + 50]
+        tot += float(fn(params_eval, chunk, sub)) * chunk.shape[0]
     print(f"OURS auxmnist val IWS-{SS} (reference law, seed {seed}): "
           f"{tot / val_bin.shape[0]:.4f}")
 

@@ -105,6 +105,9 @@ def main():
         sys.exit(f"no {opt.flavor} under {opt.exp_dir}")
     state, meta = restored
     print(f"loaded {opt.flavor} at i_ep={meta['i_ep']}")
+    # --m-weight-avg runs are evaluated on the averaged params (driver law)
+    params_eval = (state.params_model if state.avg_params_model is None
+                   else state.avg_params_model)
 
     splits = get_dataset(opt.dataset, root="data")
     data = np.asarray(splits[opt.split], np.float32)
@@ -115,7 +118,7 @@ def main():
 
     t0 = time.time()
     lp = evaluate_iws_ivae(
-        model, state.params_model, data, opt.iws_samples,
+        model, params_eval, data, opt.iws_samples,
         jax.random.fold_in(jax.random.PRNGKey(opt.seed + 100), 999_983),
         binarize=binarize, jitter=jitter, batch=opt.eval_batch_size)
     dt = time.time() - t0

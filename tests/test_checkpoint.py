@@ -95,6 +95,42 @@ def test_crash_window_recovery(tmp_path):
     assert restored is not None and restored[1]["i_ep"] == 8
 
 
+def test_weight_avg_checkpoint_loads_with_plain_skeleton(tmp_path):
+    """A checkpoint saved by a --m-weight-avg run carries avg_params_model/
+    avg_count leaves; loading it with a weight_avg='none' skeleton (the
+    standalone eval scripts' default) must widen the skeleton instead of
+    failing on the leaf-count mismatch."""
+    model = ToyIPVAE(input_dim=2, noise_dim=2, h_dim=8, z_dim=2,
+                     num_hidden_layers=1, enc_type="concat")
+    cdae = MLPGradCARDAE(input_dim=2, context_dim=2, h_dim=8, num_hidden_layers=1)
+    pm = model.init(KEY, jnp.zeros((2, 2)), jnp.zeros((2, 2)))
+    pc = cdae.init(KEY, jnp.zeros((2, 2)), jnp.zeros((2, 2)), jnp.zeros((2, 1)))
+    opt_m = build_optimizer("adam", 1e-3)
+    opt_d = build_optimizer("rmsprop", 1e-3, momentum=0.5)
+    avg_state = create_train_state(pm, opt_m, pc, opt_d, weight_avg="polyak")
+    # make averaged params distinguishable from live params
+    avg_state = avg_state.replace(
+        avg_params_model=jax.tree.map(lambda x: x + 1.0, pm),
+        avg_count=jnp.asarray(5, jnp.int32))
+    meta = {"i_ep": 9, "epoch": 1, "batch_idx": 9,
+            "train_num_iters_per_epoch": 14, "best_val_loss": 0.0}
+    save_checkpoint(avg_state, meta, str(tmp_path), "checkpoint")
+
+    plain = create_train_state(pm, opt_m, pc, opt_d)  # weight_avg='none'
+    restored = load_checkpoint(plain, str(tmp_path), "checkpoint")
+    assert restored is not None
+    state2, meta2 = restored
+    assert meta2["i_ep"] == 9
+    assert state2.avg_params_model is not None
+    assert int(state2.avg_count) == 5
+    for a, b in zip(jax.tree.leaves(avg_state.avg_params_model),
+                    jax.tree.leaves(state2.avg_params_model)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    for a, b in zip(jax.tree.leaves(pm),
+                    jax.tree.leaves(state2.params_model)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_load_end_iter(tmp_path):
     state = _make_state()
     meta = {"i_ep": 41, "epoch": 3, "batch_idx": 13,

@@ -136,14 +136,33 @@ def test_evaluate_iws_tail_batch_counts_every_item():
     assert abs(lp_tail - lp_full) < 1.5
 
 
-def test_eval_fns_trace_once_per_config_and_shape():
+def test_eval_fns_trace_once_per_config_and_shape(monkeypatch):
     """Round-3 VERDICT weak item 3: the per-batch eval bound must compile
     exactly once per (config, shape) per process — the jitted fn is hoisted
     into a module-level cache keyed on the (structurally hashable) module,
-    and the tail slice is zero-padded to the fixed batch shape."""
+    and the tail slice is zero-padded to the fixed batch shape. Traces are
+    counted by a spy on the underlying bound: under jit its Python body runs
+    only at trace time (no private jax API dependency)."""
+    import ardae_tpu.models.ivae.api as ivae_api
+    import ardae_tpu.models.vae.api as vae_api
     from ardae_tpu.cli import common
     from ardae_tpu.models.ivae.toy import ToyIPVAE
     from ardae_tpu.models.vae.toy import ToyVAE
+
+    traces = {"iws": 0, "iwae": 0}
+    real_iws = ivae_api.logprob_iws
+    real_iwae = vae_api.logprob_iwae
+
+    def spy_iws(*args, **kwargs):
+        traces["iws"] += 1
+        return real_iws(*args, **kwargs)
+
+    def spy_iwae(*args, **kwargs):
+        traces["iwae"] += 1
+        return real_iwae(*args, **kwargs)
+
+    monkeypatch.setattr(ivae_api, "logprob_iws", spy_iws)
+    monkeypatch.setattr(vae_api, "logprob_iwae", spy_iwae)
 
     model = ToyIPVAE(input_dim=2, noise_dim=3, h_dim=9, z_dim=2,
                      nonlinearity="relu", num_hidden_layers=1,
@@ -164,10 +183,9 @@ def test_eval_fns_trace_once_per_config_and_shape():
                                    jax.random.PRNGKey(2), batch=4)
     assert np.isfinite(lp1) and np.isfinite(lp2)
     assert len(common._EVAL_FN_CACHE) == 1
-    (fn,) = common._EVAL_FN_CACHE.values()
-    assert fn._cache_size() == 1  # one traced shape, tail included
+    assert traces["iws"] == 1  # one trace total: tail padded, second call cached
 
-    # vae evaluator: same law (cache entry + single traced shape)
+    # vae evaluator: same law (cache entry + single trace)
     vmodel = ToyVAE(input_dim=2, h_dim=9, z_dim=2, nonlinearity="relu",
                     num_hidden_layers=1)
     vparams = vmodel.init(key, jnp.asarray(data[:4]))
@@ -178,5 +196,20 @@ def test_eval_fns_trace_once_per_config_and_shape():
                                       jax.random.PRNGKey(4), batch=4)
     assert np.isfinite(l1) and np.isfinite(l2) and np.isfinite(e1 + e2)
     assert len(common._EVAL_FN_CACHE) == 1
-    (vfn,) = common._EVAL_FN_CACHE.values()
-    assert vfn._cache_size() == 1
+    assert traces["iwae"] == 1
+    common._EVAL_FN_CACHE.clear()  # cached fns close over the spies
+
+
+def test_eval_fn_cache_is_bounded():
+    """The jitted-eval cache evicts FIFO at its bound instead of pinning one
+    compiled executable per config for process lifetime."""
+    from ardae_tpu.cli import common
+
+    common._EVAL_FN_CACHE.clear()
+    for i in range(common._EVAL_FN_CACHE_MAX + 3):
+        common._cached_eval_fn(("k", i), lambda i=i: i)
+    assert len(common._EVAL_FN_CACHE) == common._EVAL_FN_CACHE_MAX
+    # oldest keys evicted, newest retained
+    assert ("k", 0) not in common._EVAL_FN_CACHE
+    assert ("k", common._EVAL_FN_CACHE_MAX + 2) in common._EVAL_FN_CACHE
+    common._EVAL_FN_CACHE.clear()
