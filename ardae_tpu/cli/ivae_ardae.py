@@ -112,6 +112,10 @@ def build_parser():
                    help="toy dataset train split size (reference: 2M)")
     p.add_argument("--max-iters", type=int, default=None,
                    help="hard iteration cap (smoke tests)")
+    p.add_argument("--skip-final-test-eval", action="store_true", default=False,
+                   help="TPU extension: skip the post-training test-set IWS "
+                        "eval (for harness runs scored by the standalone "
+                        "parity evaluators; ~30 min of CPU per run otherwise)")
     p.add_argument("--cdae-compute-dtype", default="float32",
                    choices=["float32", "bfloat16"],
                    help="mixed-precision PHASE-A DSM loss (1.7x on v5e)")
@@ -627,7 +631,11 @@ def main(argv=None):
         logging("-" * 89, path=opt.path)
 
     # post-training (reference :1224-1321)
-    if opt.dataset in ("swissroll", "25gaussians"):
+    if opt.skip_final_test_eval:
+        logging("| skipping final test eval (--skip-final-test-eval)",
+                path=opt.path)
+        writer.close()
+    elif opt.dataset in ("swissroll", "25gaussians"):
         visualize(state, i_ep)
         # giant final heatmap dump (reference :1224-1260: ~1M samples, num=256)
         params = eval_params(state)

@@ -65,6 +65,10 @@ def build_parser():
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--toy-train-size", type=int, default=2_000_000)
     p.add_argument("--max-iters", type=int, default=None)
+    p.add_argument("--skip-final-test-eval", action="store_true", default=False,
+                   help="TPU extension: skip the post-training test-set IWAE "
+                        "eval (for harness runs scored by the standalone "
+                        "parity evaluators; ~30 min of CPU per run otherwise)")
     p.add_argument("--dp-devices", type=int, default=0,
                    help="data-parallel device count over a 1-D mesh (0 = off)")
     p.add_argument("--model-compute-dtype", default="float32",
@@ -462,7 +466,11 @@ def main(argv=None):
         writer.flush()
         logging("End of training (final)", path=opt.path)
 
-    if opt.dataset in ("swissroll", "25gaussians"):
+    if opt.skip_final_test_eval:
+        logging("| skipping final test eval (--skip-final-test-eval)",
+                path=opt.path)
+        writer.close()
+    elif opt.dataset in ("swissroll", "25gaussians"):
         visualize(state, i_ep)
         # giant final heatmap dump (reference vae.py:676-721: ~1M samples, num=256)
         params = eval_params(state)
