@@ -114,18 +114,21 @@ def enable_compile_cache():
 # modules hash structurally, so every eval cadence of a run (and every run of
 # the same config in one process) reuses ONE traced program instead of
 # re-tracing a fresh closure per call (round-3 VERDICT weak item 3).
-# FIFO-bounded: a driver run touches 1-2 keys, but a long-lived multi-config
+# LRU-bounded: a driver run touches 1-2 keys, but a long-lived multi-config
 # process (pytest) would otherwise pin every compiled executable forever.
+# Hits refresh recency (ADVICE r4: FIFO eviction would silently re-trace the
+# hottest entry in a process alternating among >MAX keys).
 _EVAL_FN_CACHE = {}
 _EVAL_FN_CACHE_MAX = 8
 
 
 def _cached_eval_fn(key, builder):
-    fn = _EVAL_FN_CACHE.get(key)
+    fn = _EVAL_FN_CACHE.pop(key, None)
     if fn is None:
         while len(_EVAL_FN_CACHE) >= _EVAL_FN_CACHE_MAX:
             _EVAL_FN_CACHE.pop(next(iter(_EVAL_FN_CACHE)))
-        fn = _EVAL_FN_CACHE[key] = builder()
+        fn = builder()
+    _EVAL_FN_CACHE[key] = fn
     return fn
 
 

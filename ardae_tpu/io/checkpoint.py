@@ -118,7 +118,11 @@ def load_checkpoint(abstract_state, path: str, filename: str = "checkpoint"):
     (``avg_params_model is None``) but the saved state carries them (a
     ``--m-weight-avg polyak/swa`` run), the skeleton is widened
     automatically — standalone evaluators don't need to know the training
-    run's averaging flag in advance."""
+    run's averaging flag in advance. The mirror mismatch (a skeleton built
+    WITH averaging slots reading a run saved without them) is narrowed the
+    same way; any residual leaf-count disagreement after the adjustment
+    raises a clear structure-mismatch error instead of a cryptic
+    tree.unflatten failure (ADVICE r4)."""
     target = _ckpt_dir(path, filename)
     rec = _restore_with_recovery(target)
     if rec is None:
@@ -129,14 +133,26 @@ def load_checkpoint(abstract_state, path: str, filename: str = "checkpoint"):
     leaves = [jax.numpy.asarray(leaves_dict[f"leaf_{i}"])
               for i in range(len(leaves_dict))]
     treedef = jax.tree.structure(abstract_state)
-    if (treedef.num_leaves != len(leaves)
-            and getattr(abstract_state, "avg_params_model", True) is None):
-        avg_skel = jax.tree.map(lambda x: x, abstract_state.params_model)
-        abstract_state = abstract_state.replace(
-            avg_params_model=avg_skel,
-            avg_count=jax.numpy.zeros([], jax.numpy.int32))
+    if treedef.num_leaves != len(leaves):
+        avg = getattr(abstract_state, "avg_params_model", None)
+        if avg is None and treedef.num_leaves < len(leaves):
+            avg_skel = jax.tree.map(lambda x: x, abstract_state.params_model)
+            abstract_state = abstract_state.replace(
+                avg_params_model=avg_skel,
+                avg_count=jax.numpy.zeros([], jax.numpy.int32))
+            print("=> checkpoint carries averaged params; widened the skeleton")
+        elif avg is not None and treedef.num_leaves > len(leaves):
+            abstract_state = abstract_state.replace(
+                avg_params_model=None, avg_count=None)
+            print("=> checkpoint has no averaged params; narrowed the skeleton"
+                  " (evaluate with the live params)")
         treedef = jax.tree.structure(abstract_state)
-        print("=> checkpoint carries averaged params; widened the skeleton")
+        if treedef.num_leaves != len(leaves):
+            raise ValueError(
+                f"checkpoint '{target}' does not match the caller's state "
+                f"structure: expected {treedef.num_leaves} leaves, checkpoint "
+                f"has {len(leaves)} — wrong --model/--cdae flags for this "
+                "experiment?")
     state = jax.tree.unflatten(treedef, leaves)
     meta = {k: np.asarray(v).item() if np.asarray(v).ndim == 0 else np.asarray(v)
             for k, v in restored["meta"].items()}

@@ -131,6 +131,46 @@ def test_weight_avg_checkpoint_loads_with_plain_skeleton(tmp_path):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+def test_plain_checkpoint_loads_with_weight_avg_skeleton(tmp_path):
+    """Mirror of the widening test (VERDICT r4 item 6): a checkpoint saved
+    WITHOUT averaging slots read by a skeleton built WITH them must narrow
+    the skeleton (evaluate with live params) instead of falling into a
+    cryptic tree.unflatten leaf-count error; a genuine structure mismatch
+    (wrong model flags) must raise a clear message."""
+    import pytest
+
+    model = ToyIPVAE(input_dim=2, noise_dim=2, h_dim=8, z_dim=2,
+                     num_hidden_layers=1, enc_type="concat")
+    cdae = MLPGradCARDAE(input_dim=2, context_dim=2, h_dim=8, num_hidden_layers=1)
+    pm = model.init(KEY, jnp.zeros((2, 2)), jnp.zeros((2, 2)))
+    pc = cdae.init(KEY, jnp.zeros((2, 2)), jnp.zeros((2, 2)), jnp.zeros((2, 1)))
+    opt_m = build_optimizer("adam", 1e-3)
+    opt_d = build_optimizer("rmsprop", 1e-3, momentum=0.5)
+    plain_state = create_train_state(pm, opt_m, pc, opt_d)
+    meta = {"i_ep": 4, "epoch": 1, "batch_idx": 4,
+            "train_num_iters_per_epoch": 14, "best_val_loss": 0.0}
+    save_checkpoint(plain_state, meta, str(tmp_path), "checkpoint")
+
+    avg_skel = create_train_state(pm, opt_m, pc, opt_d, weight_avg="polyak")
+    restored = load_checkpoint(avg_skel, str(tmp_path), "checkpoint")
+    assert restored is not None
+    state2, meta2 = restored
+    assert meta2["i_ep"] == 4
+    assert state2.avg_params_model is None and state2.avg_count is None
+    for a, b in zip(jax.tree.leaves(pm),
+                    jax.tree.leaves(state2.params_model)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    # genuine mismatch (different cdae depth): clear error, not unflatten spew
+    cdae2 = MLPGradCARDAE(input_dim=2, context_dim=2, h_dim=8,
+                          num_hidden_layers=3)
+    pc2 = cdae2.init(KEY, jnp.zeros((2, 2)), jnp.zeros((2, 2)),
+                     jnp.zeros((2, 1)))
+    wrong = create_train_state(pm, opt_m, pc2, opt_d)
+    with pytest.raises(ValueError, match="does not match the caller's state"):
+        load_checkpoint(wrong, str(tmp_path), "checkpoint")
+
+
 def test_load_end_iter(tmp_path):
     state = _make_state()
     meta = {"i_ep": 41, "epoch": 3, "batch_idx": 13,

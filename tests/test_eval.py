@@ -164,52 +164,62 @@ def test_eval_fns_trace_once_per_config_and_shape(monkeypatch):
     monkeypatch.setattr(ivae_api, "logprob_iws", spy_iws)
     monkeypatch.setattr(vae_api, "logprob_iwae", spy_iwae)
 
-    model = ToyIPVAE(input_dim=2, noise_dim=3, h_dim=9, z_dim=2,
-                     nonlinearity="relu", num_hidden_layers=1,
-                     enc_type="concat")
-    key = jax.random.PRNGKey(0)
-    data = np.asarray(jax.random.normal(key, (11, 2)))  # 2 full + 3-row tail
-    params = model.init(key, jnp.asarray(data[:4]), jnp.zeros((4, 3)))
+    # ADVICE r4: cached fns close over the monkeypatched spies — clear the
+    # cache even when an assertion fails mid-test, or later tests hitting
+    # the same keys inherit the spy closures.
+    try:
+        model = ToyIPVAE(input_dim=2, noise_dim=3, h_dim=9, z_dim=2,
+                         nonlinearity="relu", num_hidden_layers=1,
+                         enc_type="concat")
+        key = jax.random.PRNGKey(0)
+        data = np.asarray(jax.random.normal(key, (11, 2)))  # 2 full + 3-row tail
+        params = model.init(key, jnp.asarray(data[:4]), jnp.zeros((4, 3)))
 
-    common._EVAL_FN_CACHE.clear()
-    lp1 = common.evaluate_iws_ivae(model, params, data, 8,
-                                   jax.random.PRNGKey(1), batch=4)
-    # a second eval cadence (fresh call) and a rebuilt-but-equal module both
-    # hit the same cache entry; the padded tail adds no second shape
-    model_again = ToyIPVAE(input_dim=2, noise_dim=3, h_dim=9, z_dim=2,
-                           nonlinearity="relu", num_hidden_layers=1,
-                           enc_type="concat")
-    lp2 = common.evaluate_iws_ivae(model_again, params, data, 8,
-                                   jax.random.PRNGKey(2), batch=4)
-    assert np.isfinite(lp1) and np.isfinite(lp2)
-    assert len(common._EVAL_FN_CACHE) == 1
-    assert traces["iws"] == 1  # one trace total: tail padded, second call cached
+        common._EVAL_FN_CACHE.clear()
+        lp1 = common.evaluate_iws_ivae(model, params, data, 8,
+                                       jax.random.PRNGKey(1), batch=4)
+        # a second eval cadence (fresh call) and a rebuilt-but-equal module both
+        # hit the same cache entry; the padded tail adds no second shape
+        model_again = ToyIPVAE(input_dim=2, noise_dim=3, h_dim=9, z_dim=2,
+                               nonlinearity="relu", num_hidden_layers=1,
+                               enc_type="concat")
+        lp2 = common.evaluate_iws_ivae(model_again, params, data, 8,
+                                       jax.random.PRNGKey(2), batch=4)
+        assert np.isfinite(lp1) and np.isfinite(lp2)
+        assert len(common._EVAL_FN_CACHE) == 1
+        assert traces["iws"] == 1  # one trace total: padded tail, 2nd call cached
 
-    # vae evaluator: same law (cache entry + single trace)
-    vmodel = ToyVAE(input_dim=2, h_dim=9, z_dim=2, nonlinearity="relu",
-                    num_hidden_layers=1)
-    vparams = vmodel.init(key, jnp.asarray(data[:4]))
-    common._EVAL_FN_CACHE.clear()
-    e1, l1 = common.evaluate_iwae_vae(vmodel, vparams, data, 8,
-                                      jax.random.PRNGKey(3), batch=4)
-    e2, l2 = common.evaluate_iwae_vae(vmodel, vparams, data, 8,
-                                      jax.random.PRNGKey(4), batch=4)
-    assert np.isfinite(l1) and np.isfinite(l2) and np.isfinite(e1 + e2)
-    assert len(common._EVAL_FN_CACHE) == 1
-    assert traces["iwae"] == 1
-    common._EVAL_FN_CACHE.clear()  # cached fns close over the spies
+        # vae evaluator: same law (cache entry + single trace)
+        vmodel = ToyVAE(input_dim=2, h_dim=9, z_dim=2, nonlinearity="relu",
+                        num_hidden_layers=1)
+        vparams = vmodel.init(key, jnp.asarray(data[:4]))
+        common._EVAL_FN_CACHE.clear()
+        e1, l1 = common.evaluate_iwae_vae(vmodel, vparams, data, 8,
+                                          jax.random.PRNGKey(3), batch=4)
+        e2, l2 = common.evaluate_iwae_vae(vmodel, vparams, data, 8,
+                                          jax.random.PRNGKey(4), batch=4)
+        assert np.isfinite(l1) and np.isfinite(l2) and np.isfinite(e1 + e2)
+        assert len(common._EVAL_FN_CACHE) == 1
+        assert traces["iwae"] == 1
+    finally:
+        common._EVAL_FN_CACHE.clear()
 
 
-def test_eval_fn_cache_is_bounded():
-    """The jitted-eval cache evicts FIFO at its bound instead of pinning one
-    compiled executable per config for process lifetime."""
+def test_eval_fn_cache_is_bounded_lru():
+    """The jitted-eval cache evicts LRU at its bound instead of pinning one
+    compiled executable per config for process lifetime; hits refresh
+    recency (ADVICE r4: FIFO would re-trace the hottest entry whenever a
+    process alternates among >MAX keys)."""
     from ardae_tpu.cli import common
 
     common._EVAL_FN_CACHE.clear()
     for i in range(common._EVAL_FN_CACHE_MAX + 3):
         common._cached_eval_fn(("k", i), lambda i=i: i)
+        common._cached_eval_fn(("k", 0), lambda: "zero-rebuilt")
     assert len(common._EVAL_FN_CACHE) == common._EVAL_FN_CACHE_MAX
-    # oldest keys evicted, newest retained
-    assert ("k", 0) not in common._EVAL_FN_CACHE
+    # ("k", 0) is touched on every round: under LRU it survives the churn
+    # without being rebuilt; the oldest UNtouched keys are evicted
+    assert common._cached_eval_fn(("k", 0), lambda: "rebuilt") == 0
+    assert ("k", 1) not in common._EVAL_FN_CACHE
     assert ("k", common._EVAL_FN_CACHE_MAX + 2) in common._EVAL_FN_CACHE
     common._EVAL_FN_CACHE.clear()
