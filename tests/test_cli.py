@@ -459,13 +459,15 @@ def test_eval_batch_size_honored(monkeypatch):
     from ardae_tpu.cli import common
     common._EVAL_FN_CACHE.clear()  # force a fresh trace through the spy
     monkeypatch.setattr(api, "logprob_iws", spy)
-    lp = evaluate_iws_ivae(model, params, data, 4, jax.random.PRNGKey(1),
-                           batch=3)
-    assert np.isfinite(lp)
-    # 7 items at batch=3: two full batches + a 1-row tail PADDED to 3 —
-    # exactly ONE traced shape, and it is the requested batch size
-    assert shapes == [3]
-    common._EVAL_FN_CACHE.clear()  # don't leave the spy'd fn cached
+    try:
+        lp = evaluate_iws_ivae(model, params, data, 4, jax.random.PRNGKey(1),
+                               batch=3)
+        assert np.isfinite(lp)
+        # 7 items at batch=3: two full batches + a 1-row tail PADDED to 3 —
+        # exactly ONE traced shape, and it is the requested batch size
+        assert shapes == [3]
+    finally:
+        common._EVAL_FN_CACHE.clear()  # don't leave the spy'd fn cached
 
 
 @pytest.mark.slow
