@@ -73,6 +73,20 @@ def save_checkpoint(state, meta: dict, path: str, filename: str = "checkpoint"):
         shutil.rmtree(old)
 
 
+def _meta_recency(restored) -> int:
+    """Completed-iteration stamp of a restored payload, for comparing which
+    of two readable checkpoints is newer; -1 if metadata is malformed."""
+    try:
+        meta = restored["meta"]
+        if "i_ep" in meta:
+            return int(np.asarray(meta["i_ep"]))
+        return (int(np.asarray(meta["epoch"])) - 1) * int(
+            np.asarray(meta["train_num_iters_per_epoch"])
+        ) + int(np.asarray(meta["batch_idx"]))
+    except Exception:
+        return -1
+
+
 def _restore_with_recovery(target: str):
     """Restore `target`, falling back to the write-then-swap temporaries.
 
@@ -85,10 +99,30 @@ def _restore_with_recovery(target: str):
     preferred over '.tmp-old' (ADVICE r3: in the rename-window crash both
     exist and '.tmp-save' is newer); the unreadable-skip below handles the
     other case where '.tmp-save' is a PARTIAL write — which can only occur
-    alongside a preferred live target, or alone after a first-ever-save
-    crash. Returns (restored, src) or None.
+    alongside a live target, or alone after a first-ever-save crash.
+
+    When BOTH the live target and a READABLE '.tmp-save' exist (crash after
+    the new save finalized but before any rename), the live target is one
+    save interval staler than the finished '.tmp-save' — compare the two by
+    their completed-iteration metadata and keep the newer (ADVICE r4), so
+    that crash no longer silently rolls back an interval. Returns
+    (restored, src) or None.
     """
     ckptr = ocp.StandardCheckpointer()
+    tmp_save = target + ".tmp-save"
+    if os.path.exists(target) and os.path.exists(tmp_save):
+        live = _restore_local(ckptr, target)  # unreadable primary stays loud
+        try:
+            pending = _restore_local(ckptr, tmp_save)
+        except Exception as e:
+            print(f"=> recovery candidate '{tmp_save}' unreadable ({e}); "
+                  "skipping")
+            return live, target
+        if _meta_recency(pending) > _meta_recency(live):
+            print(f"=> recovered newer finalized save '{tmp_save}' over the "
+                  "live checkpoint (crash between save-finalize and swap)")
+            return pending, tmp_save
+        return live, target
     candidates = [(target, False),
                   (target + ".tmp-save", True),
                   (target + ".tmp-old", True)]

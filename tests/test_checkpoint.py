@@ -95,6 +95,49 @@ def test_crash_window_recovery(tmp_path):
     assert restored is not None and restored[1]["i_ep"] == 8
 
 
+def test_crash_after_finalize_prefers_newer_tmp_save(tmp_path):
+    """Crash AFTER ckptr.save+wait_until_finished but BEFORE any rename:
+    the live target is still on disk, one save interval STALER than the
+    finalized '.tmp-save'. Recovery must compare metadata recency and keep
+    the newer save instead of silently rolling back an interval (ADVICE r4).
+    A PARTIAL '.tmp-save' alongside a live target must still fall back to
+    the live target."""
+    import os
+    import shutil
+
+    state = _make_state()
+    meta = {"i_ep": 7, "epoch": 1, "batch_idx": 7,
+            "train_num_iters_per_epoch": 14, "best_val_loss": -2.5}
+    target = os.path.join(str(tmp_path), "checkpoint")
+
+    # stage: live target at i_ep=7, finalized .tmp-save at i_ep=8
+    save_checkpoint(state, {**meta, "i_ep": 8, "batch_idx": 8},
+                    str(tmp_path), "checkpoint")
+    os.rename(target, target + ".newer-aside")
+    save_checkpoint(state, meta, str(tmp_path), "checkpoint")
+    os.rename(target + ".newer-aside", target + ".tmp-save")
+    restored = load_checkpoint(state, str(tmp_path), "checkpoint")
+    assert restored is not None and restored[1]["i_ep"] == 8
+    # load_end_iter takes the same path: i_ep 8 <=> batch_idx 8
+    assert load_end_iter(str(tmp_path), "checkpoint") == (1 - 1) * 14 + 8 - 1
+
+    # mid-write crash: partial .tmp-save next to a live target -> live wins
+    shutil.rmtree(target + ".tmp-save")
+    os.makedirs(target + ".tmp-save")  # empty = maximally partial write
+    restored = load_checkpoint(state, str(tmp_path), "checkpoint")
+    assert restored is not None and restored[1]["i_ep"] == 7
+
+    # a STALER readable .tmp-save (equal-or-older metadata) never wins
+    shutil.rmtree(target + ".tmp-save")
+    shutil.rmtree(target)
+    save_checkpoint(state, {**meta, "i_ep": 3}, str(tmp_path), "checkpoint")
+    os.rename(target, target + ".older-aside")
+    save_checkpoint(state, meta, str(tmp_path), "checkpoint")
+    os.rename(target + ".older-aside", target + ".tmp-save")
+    restored = load_checkpoint(state, str(tmp_path), "checkpoint")
+    assert restored is not None and restored[1]["i_ep"] == 7
+
+
 def test_weight_avg_checkpoint_loads_with_plain_skeleton(tmp_path):
     """A checkpoint saved by a --m-weight-avg run carries avg_params_model/
     avg_count leaves; loading it with a weight_avg='none' skeleton (the
